@@ -1,0 +1,44 @@
+"""Precision policy: bf16 compute on the MXU, f32 params + f32 accumulation.
+
+The reference enables bf16 autocast + TF32 on CUDA SM>=8.0
+(sam2_masker.py:75-79). The TPU-native equivalent is explicit: modules take
+a `Policy`, cast inputs/weights to `compute_dtype` at matmul boundaries,
+and keep softmax / normalization statistics in `accum_dtype`.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Policy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    accum_dtype: jnp.dtype = jnp.float32
+
+    def cast_to_compute(self, *xs):
+        out = tuple(x.astype(self.compute_dtype) if x is not None else None for x in xs)
+        return out if len(out) > 1 else out[0]
+
+    def cast_to_accum(self, *xs):
+        out = tuple(x.astype(self.accum_dtype) if x is not None else None for x in xs)
+        return out if len(out) > 1 else out[0]
+
+
+def default_policy() -> Policy:
+    return Policy()
+
+
+def f32_policy() -> Policy:
+    """Full-f32 policy for CPU tests / parity harnesses."""
+    return Policy(compute_dtype=jnp.float32)
+
+
+def policy_from_config(precision_cfg) -> Policy:
+    return Policy(
+        param_dtype=jnp.dtype(precision_cfg.param_dtype),
+        compute_dtype=jnp.dtype(precision_cfg.compute_dtype),
+        accum_dtype=jnp.dtype(precision_cfg.accum_dtype),
+    )

@@ -1,0 +1,154 @@
+"""Attention for TPU: Pallas flash-attention kernel + XLA fallback.
+
+The reference's attention (SAM2 memory attention, UNet spatial/temporal and
+BrushNet attention) all runs through torch/CUDA SDPA. Here the hot path is
+a Pallas online-softmax flash kernel (HBM-bandwidth-optimal: K/V streamed
+block-wise through VMEM, f32 running max/sum, bf16 MXU matmuls), with a
+plain-XLA fallback for CPU tests and shapes the kernel does not cover.
+
+Layout: (B, H, S, D). Head dims that are not lane-aligned (SD1.5 uses
+40/80/160) are zero-padded to a multiple of 128 inside the wrapper; padded
+K rows are masked via the true kv length carried in SMEM.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-capable jaxlibs; guard for portability
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, scale, is_causal=False):
+    """Reference attention: f32 softmax accumulation, any shape."""
+    out_dtype = q.dtype
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if is_causal:
+        Sq, Sk = s.shape[-2], s.shape[-1]
+        mask = jnp.tril(jnp.ones((Sq, Sk), dtype=bool), Sk - Sq)
+        s = jnp.where(mask, s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)
+
+
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, scale, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bk, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (bq, bk)
+
+    # mask out K padding beyond the true kv length
+    kv_len = kvlen_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]                       # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)             # (bq, 1)
+    p = jnp.exp(s - m_new)                      # (bq, bk)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # (bq, D)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def _flash_attention(q, k, v, scale, block_q=256, block_k=256):
+    """Pallas flash attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D)."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    Dp = _round_up(max(D, 128), 128)
+    bq = min(block_q, _round_up(Sq, 8))
+    bk = min(block_k, _round_up(Sk, 128))
+    Sqp = _round_up(Sq, bq)
+    Skp = _round_up(Sk, bk)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
+    qp = qp.reshape(B * H, Sqp, Dp)
+    kp = kp.reshape(B * H, Skp, Dp)
+    vp = vp.reshape(B * H, Skp, Dp)
+
+    grid = (B * H, Sqp // bq, Skp // bk)
+    kv_len = jnp.array([Sk], dtype=jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0)),
+                pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, Dp), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(kv_len, qp, kp, vp)
+    return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("VV_DISABLE_PALLAS", "0") == "1":
+        return False
+    return pltpu is not None and jax.default_backend() == "tpu"
+
+
+def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
+              backend: str = "auto"):
+    """Multi-head attention over (B, H, S, D) tensors.
+
+    backend: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if backend == "pallas" or (backend == "auto" and _use_pallas()
+                               and not is_causal):
+        return _flash_attention(q, k, v, float(scale))
+    return _xla_attention(q, k, v, float(scale), is_causal)

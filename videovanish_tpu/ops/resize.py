@@ -1,0 +1,76 @@
+"""On-device resize with OpenCV-matching semantics.
+
+The reference resizes on CPU with cv2 (tools.py:42 nearest; diffuerase.py:73
+bilinear; sam2_masker.py:167 nearest). Both are reproduced as jitted gathers
+so rescale-and-composite stays on-device:
+  - nearest: src = floor(dst * scale) (cv2 INTER_NEAREST)
+  - bilinear: half-pixel centers, clamped (cv2 INTER_LINEAR default)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.INTER_NEAREST-compatible resize of (..., H, W, C) (channel-last)."""
+    H, W = img.shape[-3], img.shape[-2]
+    sy, sx = H / out_h, W / out_w
+    ys = jnp.clip(jnp.floor(jnp.arange(out_h) * sy).astype(jnp.int32), 0, H - 1)
+    xs = jnp.clip(jnp.floor(jnp.arange(out_w) * sx).astype(jnp.int32), 0, W - 1)
+    return img[..., ys[:, None], xs[None, :], :]
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_nearest_2d(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.INTER_NEAREST-compatible resize of a channel-less (..., H, W) map."""
+    return resize_nearest(img[..., None], out_h, out_w)[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.INTER_LINEAR-compatible resize (half-pixel centers).
+
+    img: (..., H, W, C) float or uint8; returns f32.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    x = img.astype(jnp.float32)
+    fy = (jnp.arange(out_h) + 0.5) * (H / out_h) - 0.5
+    fx = (jnp.arange(out_w) + 0.5) * (W / out_w) - 0.5
+    y0f = jnp.floor(fy); x0f = jnp.floor(fx)
+    wy = (fy - y0f).astype(jnp.float32)
+    wx = (fx - x0f).astype(jnp.float32)
+    # cv2 border handling: clamp the tap pair and zero the fractional weight
+    # when the source coordinate falls outside the image.
+    wy = jnp.where(y0f < 0, 0.0, jnp.where(y0f > H - 2, 1.0, wy)) if H > 1 \
+        else jnp.zeros_like(wy)
+    wx = jnp.where(x0f < 0, 0.0, jnp.where(x0f > W - 2, 1.0, wx)) if W > 1 \
+        else jnp.zeros_like(wx)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, max(H - 2, 0))
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, max(W - 2, 0))
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    # gather rows then columns (two separable gathers keep it XLA-friendly)
+    top = x[..., y0, :, :] * (1 - wy)[:, None, None] + x[..., y1, :, :] * wy[:, None, None]
+    out = (top[..., :, x0, :] * (1 - wx)[None, :, None]
+           + top[..., :, x1, :] * wx[None, :, None])
+    return out
+
+
+def resize_long_side(img: jnp.ndarray, max_long_side: int,
+                     multiple_of: int = 8):
+    """Compute target size capping the long side (DiffuEraser max_img_size
+    semantics, diffuerase.py:64) rounded to a multiple (VAE needs /8).
+    Returns (out_h, out_w) — pure python, for static shape planning."""
+    H, W = img.shape[-3], img.shape[-2]
+    return plan_long_side(H, W, max_long_side, multiple_of)
+
+
+def plan_long_side(H: int, W: int, max_long_side: int, multiple_of: int = 8):
+    scale = min(1.0, max_long_side / max(H, W))
+    out_h = max(multiple_of, int(round(H * scale / multiple_of)) * multiple_of)
+    out_w = max(multiple_of, int(round(W * scale / multiple_of)) * multiple_of)
+    return out_h, out_w
