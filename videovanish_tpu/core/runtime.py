@@ -1,0 +1,22 @@
+"""Process-level runtime knobs.
+
+This image's sitecustomize registers the TPU PJRT plugin in every python
+process and pins the platform before user code runs, so the standard
+JAX_PLATFORMS env var is ineffective. VV_PLATFORM provides the escape
+hatch (used by CPU-only CI/subprocess tests): set VV_PLATFORM=cpu and
+call apply_env_platform() early in an entry point.
+"""
+from __future__ import annotations
+
+import os
+
+
+def apply_env_platform() -> None:
+    plat = os.environ.get("VV_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            n = os.environ.get("VV_CPU_DEVICES")
+            if n:
+                jax.config.update("jax_num_cpu_devices", int(n))

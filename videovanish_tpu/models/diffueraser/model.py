@@ -1,0 +1,285 @@
+"""DiffuEraser: the end-to-end diffusion video-inpainting model.
+
+Call surface mirrors the reference class (ctor diffuerase.py:39-45,
+forward :60-67): frames + masks + prior frames in, inpainted frames out,
+with max_img_size capping the inference resolution (long side, /8).
+
+TPU-native design (vs the reference's per-clip torch loop):
+  - one jit-compiled denoise step per (clip_len, h, w) signature:
+    BrushNet features + UNet epsilon + PCM transition fused into a
+    single XLA program; VAE encode/decode batched over frames;
+  - overlapping temporal windows with f32 latent accumulation and a
+    fixed reduction order -> deterministic, seam-free blending (each
+    frame is decoded exactly once);
+  - noise is drawn once for the whole video from a seeded PRNG and
+    sliced per window, so overlapping windows agree on each frame's
+    noise (bitwise-stable chunk blending, BASELINE north star).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovanish_tpu.config import DiffuEraserConfig, default_config
+from videovanish_tpu.core.checkpoint import maybe_load
+from videovanish_tpu.core.prog import null_prog
+from videovanish_tpu.models.diffueraser.brushnet import BrushNetModel
+from videovanish_tpu.models.diffueraser.scheduler import (
+    NoiseSchedule, consistency_step, pcm_timesteps,
+)
+from videovanish_tpu.models.diffueraser.unet import UNetCondition
+from videovanish_tpu.models.diffueraser.vae import AutoencoderKL
+from videovanish_tpu.ops.morphology import binary_dilation
+from videovanish_tpu.ops.resize import plan_long_side, resize_bilinear, resize_nearest_2d
+
+
+def make_window_plan(n_frames: int, clip_len: int, overlap: int):
+    """Static list of (start, length) windows covering [0, n_frames) with
+    `overlap` shared frames between neighbors. Pure python (shape planning)."""
+    if n_frames <= clip_len:
+        return [(0, n_frames)]
+    stride = clip_len - overlap
+    starts = list(range(0, n_frames - clip_len + stride, stride))
+    plan = []
+    for s in starts:
+        if s + clip_len >= n_frames:
+            plan.append((n_frames - clip_len, clip_len))
+            break
+        plan.append((s, clip_len))
+    return plan
+
+
+def window_blend_weights(length: int, overlap: int, is_first: bool,
+                         is_last: bool) -> np.ndarray:
+    """Linear cross-fade ramps on the overlapped edges (f32)."""
+    w = np.ones(length, dtype=np.float32)
+    if overlap > 0:
+        ramp = (np.arange(overlap) + 1.0) / (overlap + 1.0)
+        if not is_first:
+            w[:overlap] = ramp
+        if not is_last:
+            w[-overlap:] = ramp[::-1]
+    return w
+
+
+class DiffuEraser:
+    """SD1.5 + BrushNet + temporal attention + PCM few-step sampler."""
+
+    def __init__(self, device=None, sd_repo: str = None, vae_repo: str = None,
+                 diffueraser_repo: str = None, ckpt: str = "2-Step",
+                 config: Optional[DiffuEraserConfig] = None,
+                 params=None, seed: int = 0,
+                 compute_dtype=jnp.bfloat16):
+        # device/sd_repo/vae_repo/diffueraser_repo accepted for reference
+        # ctor compatibility (diffuerase.py:39-45); weights come from the
+        # config's orbax checkpoints here.
+        self.cfg = config or default_config().diffueraser
+        self.ckpt = "2-Step" if ckpt is None else ckpt
+        self.seed = seed
+        self.dtype = compute_dtype if jax.default_backend() == "tpu" \
+            else jnp.float32
+        self.schedule = NoiseSchedule()
+
+        cfg = self.cfg
+        heads = cfg.attention_head_dim
+        self.vae = AutoencoderKL(cfg.vae_block_out_channels, 2,
+                                 cfg.vae_latent_channels, dtype=self.dtype)
+        self.unet = UNetCondition(
+            in_channels=cfg.sample_channels,
+            out_channels=cfg.sample_channels,
+            block_out_channels=cfg.block_out_channels,
+            layers_per_block=cfg.layers_per_block,
+            num_attention_heads=heads,
+            cross_attention_dim=cfg.cross_attention_dim,
+            dtype=self.dtype)
+        self.brushnet = BrushNetModel(
+            in_channels=2 * cfg.sample_channels + 1,
+            block_out_channels=cfg.block_out_channels,
+            layers_per_block=cfg.layers_per_block,
+            num_attention_heads=heads,
+            dtype=self.dtype)
+        self.params = params if params is not None else self._init_params()
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        """Load orbax checkpoints if present, else seeded random init."""
+        cfg = self.cfg
+        key = jax.random.PRNGKey(self.seed)
+        kv, ku, kb, kt = jax.random.split(key, 4)
+        lat = cfg.sample_channels
+        img = jnp.zeros((1, 32, 32, 3), self.dtype)
+        z = jnp.zeros((2, 16, 16, lat), self.dtype)
+        txt = jnp.zeros((2, 77, cfg.cross_attention_dim), self.dtype)
+        bsamp = jnp.zeros((2, 16, 16, 2 * lat + 1), self.dtype)
+        t = jnp.zeros((2,), jnp.int32)
+
+        vae_p = self.vae.init(kv, img, method=self.vae.encode)["params"]
+        # ensure decoder params exist too
+        zdec = jnp.zeros((1, 4, 4, lat), self.dtype)
+        vae_p2 = self.vae.init(kv, zdec, method=self.vae.decode)["params"]
+        vae_p = {**vae_p2, **vae_p}
+
+        unet_p = self.unet.init(ku, z, t, txt, 2)["params"]
+        brush_p = self.brushnet.init(kb, bsamp, t, 2)["params"]
+        null_emb = jax.random.normal(kt, (77, cfg.cross_attention_dim),
+                                     jnp.float32) * 0.02
+
+        params = {"vae": vae_p, "unet": unet_p, "brushnet": brush_p,
+                  "null_text_emb": null_emb}
+
+        loaded = maybe_load(cfg.checkpoint, like=params)
+        if loaded is not None:
+            params = loaded
+        else:
+            vae_loaded = maybe_load(cfg.vae_checkpoint, like=vae_p)
+            if vae_loaded is not None:
+                params = {**params, "vae": vae_loaded}
+        return params
+
+    # ------------------------------------------------------------------
+    def _get_jitted(self, t_frames: int):
+        """Build (encode, denoise_window, decode) jitted for a clip length."""
+        if t_frames in self._jit_cache:
+            return self._jit_cache[t_frames]
+
+        vae, unet, brushnet = self.vae, self.unet, self.brushnet
+        schedule = self.schedule
+        scale = self.cfg.vae_scaling_factor
+        steps = pcm_timesteps(self.cfg.num_inference_steps,
+                              schedule.num_train_timesteps)
+
+        @jax.jit
+        def encode(params, rgb01):
+            """rgb01: (N, H, W, 3) f32 in [0,1] -> scaled latents."""
+            x = (rgb01 * 2.0 - 1.0).astype(unet.dtype)
+            return vae.apply({"params": params["vae"]}, x,
+                             method=vae.encode) * scale
+
+        @jax.jit
+        def decode(params, z):
+            x = vae.apply({"params": params["vae"]},
+                          (z / scale).astype(unet.dtype), method=vae.decode)
+            return jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+
+        @jax.jit
+        def denoise_window(params, prior_lat, masked_lat, mask_lat, noise):
+            """One temporal window: PCM few-step denoise. All (T, h8, w8, C)."""
+            T = prior_lat.shape[0]
+            txt = jnp.broadcast_to(
+                params["null_text_emb"].astype(unet.dtype)[None],
+                (T, 77, params["null_text_emb"].shape[-1]))
+            x = schedule.add_noise(prior_lat, noise,
+                                   jnp.full((T,), steps[0], jnp.int32))
+            for i, t_i in enumerate(steps):
+                t_vec = jnp.full((T,), int(t_i), jnp.int32)
+                bsample = jnp.concatenate(
+                    [x, masked_lat, mask_lat], axis=-1).astype(unet.dtype)
+                bd, bm, bu = brushnet.apply({"params": params["brushnet"]},
+                                            bsample, t_vec, t_frames)
+                eps = unet.apply({"params": params["unet"]},
+                                 x.astype(unet.dtype), t_vec, txt, t_frames,
+                                 brushnet_down=bd, brushnet_mid=bm,
+                                 brushnet_up=bu)
+                t_next = int(steps[i + 1]) if i + 1 < len(steps) else -1
+                x = consistency_step(schedule, x, eps.astype(jnp.float32),
+                                     jnp.int32(t_i), jnp.int32(t_next))
+            return x.astype(jnp.float32)
+
+        fns = (encode, denoise_window, decode)
+        self._jit_cache[t_frames] = fns
+        return fns
+
+    # ------------------------------------------------------------------
+    def forward(self, frames, masks, prior_frames=None, max_img_size: int = 960,
+                mask_dilation_iter: int = 0, guidance_scale=None,
+                progress=None):
+        """Inpaint `frames` where `masks` is nonzero, seeded by `prior_frames`.
+
+        frames: list/array of (H0,W0,3) RGB uint8
+        masks:  list/array of (H0,W0) or (H0,W0,3) uint8, nonzero = hole
+        prior_frames: low-frequency prior (ProPainter output); if None the
+            masked regions are seeded from the masked-out input itself.
+        Returns list of (h,w,3) RGB uint8 at inference resolution (the
+        pipeline layer composites/rescales back, as the reference does at
+        diffuerase.py:70-112).
+        """
+        prog = progress or null_prog
+        cfg = self.cfg
+        frames = np.stack([np.asarray(f) for f in frames])
+        T, H0, W0 = frames.shape[0], frames.shape[1], frames.shape[2]
+        masks = np.stack([np.asarray(m) for m in masks])
+        if masks.ndim == 4:
+            masks = np.any(masks > 0, axis=-1).astype(np.uint8)
+        masks = (masks > 0).astype(np.uint8)
+
+        h, w = plan_long_side(H0, W0, min(max_img_size, cfg.max_img_size), 8)
+        h8, w8 = h // 8, w // 8
+
+        # ---- host->device staging + preprocessing (jit-fused) ----
+        x = jnp.asarray(frames, jnp.float32) / 255.0
+        if (H0, W0) != (h, w):
+            x = resize_bilinear(x, h, w)
+        m = jnp.asarray(masks)
+        if mask_dilation_iter > 0:
+            m = binary_dilation(m, mask_dilation_iter)
+        if (H0, W0) != (h, w):
+            m = resize_nearest_2d(m.astype(jnp.uint8), h, w)
+        m = (m > 0)
+        m_f = m.astype(jnp.float32)[..., None]
+        m_lat = resize_nearest_2d(m.astype(jnp.uint8), h8, w8)
+        m_lat = m_lat.astype(jnp.float32)[..., None]
+
+        if prior_frames is not None:
+            p = jnp.asarray(np.stack([np.asarray(f) for f in prior_frames]),
+                            jnp.float32) / 255.0
+            if p.shape[1:3] != (h, w):
+                p = resize_bilinear(p, h, w)
+        else:
+            p = x * (1.0 - m_f)  # no prior: seed from masked input
+
+        clip_len = min(cfg.clip_length, T)
+        encode, denoise_window, decode = self._get_jitted(clip_len)
+
+        prog(5, "VAE-encoding frames")
+        masked_lat = encode(self.params, x * (1.0 - m_f))
+        prior_lat = encode(self.params, p)
+
+        # one noise tensor for the whole video: overlapping windows agree
+        noise = jax.random.normal(jax.random.PRNGKey(self.seed),
+                                  (T, h8, w8, cfg.sample_channels), jnp.float32)
+
+        plan = make_window_plan(T, clip_len, min(cfg.clip_overlap, clip_len - 1)
+                                if clip_len > 1 else 0)
+        acc = jnp.zeros((T, h8, w8, cfg.sample_channels), jnp.float32)
+        wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        for wi, (s, L) in enumerate(plan):
+            prog(10 + 70 * wi / max(1, len(plan)),
+                 f"denoising window {wi + 1}/{len(plan)}")
+            z = denoise_window(self.params,
+                               jax.lax.dynamic_slice_in_dim(prior_lat, s, L),
+                               jax.lax.dynamic_slice_in_dim(masked_lat, s, L),
+                               jax.lax.dynamic_slice_in_dim(m_lat, s, L),
+                               jax.lax.dynamic_slice_in_dim(noise, s, L))
+            bw = window_blend_weights(L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
+                                      is_first=(wi == 0),
+                                      is_last=(wi == len(plan) - 1))
+            bwj = jnp.asarray(bw)[:, None, None, None]
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, s, L) + bwj * z, s, axis=0)
+            wsum = jax.lax.dynamic_update_slice_in_dim(
+                wsum, jax.lax.dynamic_slice_in_dim(wsum, s, L) + bwj, s, axis=0)
+
+        z_final = acc / wsum
+        prog(85, "VAE-decoding frames")
+        rgb = decode(self.params, z_final)  # (T, h, w, 3) in [0,1]
+        out = np.asarray(jnp.clip(jnp.rint(rgb * 255.0), 0, 255)
+                         .astype(jnp.uint8))
+        prog(100, "diffusion inpainting done")
+        return [out[i] for i in range(T)]
+
+    __call__ = forward

@@ -1,0 +1,49 @@
+"""Temporal self-attention (motion-module style) for video UNets.
+
+The reference's DiffuEraser inflates the SD1.5 UNet with temporal
+self-attention over the frame axis [external per SURVEY.md §2c;
+BASELINE.json north-star]. TPU-first design: frames ride the batch axis
+through all spatial modules; here we transpose so the frame axis becomes
+the attention sequence — tokens = clip length (static), batch = B*H*W —
+which keeps every shape static under jit and maps the (T x T) attention
+onto the flash kernel. Sequence parallelism over frames (ring attention
+over ICI) plugs in at exactly this boundary (parallel/ring_attention.py).
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from videovanish_tpu.models.diffueraser.blocks import (
+    Attention, FeedForward, timestep_embedding,
+)
+
+
+class TemporalAttentionBlock(nn.Module):
+    """Pre-LN temporal self-attention + FF, with sinusoidal frame-position
+    encoding. Input (B*T, H, W, C); t_frames is the static clip length."""
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    max_frames: int = 64
+
+    @nn.compact
+    def __call__(self, x, t_frames: int):
+        BT, H, W, C = x.shape
+        B = BT // t_frames
+        head_dim = C // self.num_heads
+
+        # (B*T, H, W, C) -> (B*H*W, T, C)
+        h = x.reshape(B, t_frames, H * W, C).transpose(0, 2, 1, 3)
+        h = h.reshape(B * H * W, t_frames, C)
+
+        pos = timestep_embedding(
+            jnp.arange(t_frames), C, flip_sin_to_cos=False)  # (T, C)
+        hn = nn.LayerNorm(dtype=jnp.float32, name="norm1")(h)
+        hn = (hn + pos[None]).astype(x.dtype)
+        h = h + Attention(self.num_heads, head_dim, dtype=self.dtype,
+                          name="attn")(hn)
+        hn = nn.LayerNorm(dtype=jnp.float32, name="norm2")(h)
+        h = h + FeedForward(dtype=self.dtype, name="ff")(hn.astype(x.dtype))
+
+        h = h.reshape(B, H * W, t_frames, C).transpose(0, 2, 1, 3)
+        return h.reshape(BT, H, W, C)
