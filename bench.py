@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end DiffuEraser inpainting throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+Measures model.forward (VAE encode -> windowed BrushNet+UNet PCM denoise
+-> blend -> VAE decode) on synthetic 720p frames, excluding host codec
+I/O and excluding the one-time jit compile (warmup pass first).
+vs_baseline is value / 10.0 — the north-star "≥10 frames/sec end-to-end
+720p object removal" (BASELINE.md; the reference publishes no numbers).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(height=720, width=1280, frames=24, max_img_size=960):
+    import jax
+    from videovanish_tpu.config import default_config
+    from videovanish_tpu.models.diffueraser import DiffuEraser
+
+    rng = np.random.default_rng(0)
+    video = (rng.random((frames, height, width, 3)) * 255).astype(np.uint8)
+    masks = np.zeros((frames, height, width), np.uint8)
+    masks[:, height // 3: 2 * height // 3, width // 3: 2 * width // 3] = 255
+
+    model = DiffuEraser(config=default_config().diffueraser)
+
+    # warmup: compile all shapes (same T/window structure as the timed run)
+    _ = model.forward(list(video), list(masks), max_img_size=max_img_size)
+
+    t0 = time.perf_counter()
+    out = model.forward(list(video), list(masks), max_img_size=max_img_size)
+    elapsed = time.perf_counter() - t0
+    assert len(out) == frames
+    return frames / elapsed
+
+
+def main():
+    configs = [
+        (720, 1280, 24, 960),   # 720p, reference-default inference res
+        (480, 854, 24, 960),    # 480p fallback
+        (256, 256, 16, 256),    # smoke fallback
+    ]
+    last_err = None
+    for h, w, t, mis in configs:
+        try:
+            fps = run_bench(h, w, t, mis)
+            print(json.dumps({
+                "metric": f"inpainted_frames_per_sec_{h}p_1chip",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 10.0, 3),
+            }))
+            return 0
+        except Exception as e:  # OOM / compile failure: try smaller
+            last_err = e
+            print(f"[bench] {h}p config failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "inpainted_frames_per_sec",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "error": f"{type(last_err).__name__}: {last_err}",
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

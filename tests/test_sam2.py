@@ -1,0 +1,115 @@
+"""SAM2 model family: Hiera shapes, window partition roundtrip, and the
+streaming predictor end-to-end through the reference 4-call API with the
+tiny config (BASELINE.json config-2 smoke analog)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videovanish_tpu.config import tiny_config
+from videovanish_tpu.models.sam2.hiera import (
+    window_partition, window_unpartition,
+)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 8)).astype(np.float32))
+    w, hw_pad = window_partition(x, 4)
+    back = window_unpartition(w, 4, hw_pad, (10, 14))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+class TestPredictorTiny:
+    @pytest.fixture(scope="class")
+    def predictor(self):
+        from videovanish_tpu.models.sam2.predictor import (
+            build_sam2_video_predictor,
+        )
+        return build_sam2_video_predictor(config=tiny_config().sam2)
+
+    @pytest.fixture(scope="class")
+    def video(self):
+        rng = np.random.default_rng(3)
+        T, H, W = 6, 96, 128
+        frames = []
+        for t in range(T):
+            f = (rng.random((H, W, 3)) * 80).astype(np.uint8)
+            f[30:60, 40 + 4 * t:70 + 4 * t] = 220  # bright moving square
+            frames.append(f)
+        return frames
+
+    def test_full_streaming_api(self, predictor, video):
+        H, W = video[0].shape[:2]
+        state = predictor.init_state(video_path=video)
+        fidx, obj_ids, logits = predictor.add_new_points_or_box(
+            inference_state=state, frame_idx=0, obj_id=1,
+            points=np.array([[55.0, 45.0]], np.float32),
+            labels=np.array([1], np.int32))
+        assert fidx == 0 and obj_ids == [1]
+        assert logits.shape == (1, H, W)
+
+        # box for a second object
+        predictor.add_new_points_or_box(
+            inference_state=state, frame_idx=0, obj_id=2,
+            box=np.array([5.0, 5.0, 30.0, 30.0], np.float32))
+
+        outs = list(predictor.propagate_in_video(state))
+        assert len(outs) == len(video)
+        frame_idxs = [o[0] for o in outs]
+        assert frame_idxs == list(range(len(video)))
+        t0, ids, masks = outs[0]
+        assert ids == [1, 2]
+        assert len(masks) == 2 and masks[0].shape == (H, W)
+        assert masks[0].dtype == np.float32
+
+    def test_propagation_deterministic(self, predictor, video):
+        def run():
+            state = predictor.init_state(video_path=video)
+            predictor.add_new_points_or_box(
+                inference_state=state, frame_idx=1, obj_id=1,
+                points=np.array([[60.0, 45.0]], np.float32),
+                labels=np.array([1], np.int32))
+            return [m[0] for _, _, m in predictor.propagate_in_video(state)]
+
+        a, b = run(), run()
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_propagation_starts_at_first_prompt(self, predictor, video):
+        state = predictor.init_state(video_path=video)
+        predictor.add_new_points_or_box(
+            inference_state=state, frame_idx=2, obj_id=1,
+            points=np.array([[60.0, 45.0]], np.float32),
+            labels=np.array([1], np.int32))
+        outs = list(predictor.propagate_in_video(state))
+        assert [o[0] for o in outs] == [2, 3, 4, 5]
+
+    def test_no_prompts_yields_nothing(self, predictor, video):
+        state = predictor.init_state(video_path=video)
+        assert list(predictor.propagate_in_video(state)) == []
+
+
+def test_masker_pipeline_tiny(rng):
+    """run_sam2_on_frames end-to-end with the reference annotation schema."""
+    from videovanish_tpu.pipeline import infill
+    from videovanish_tpu.config import tiny_config
+    from videovanish_tpu.pipeline import masker
+    infill.set_config(tiny_config())
+    masker.reset_predictor()
+    try:
+        T, H, W = 4, 64, 96
+        frames = [(rng.random((H, W, 3)) * 100).astype(np.uint8)
+                  for _ in range(T)]
+        ann = {"keyframes": [{
+            "frame_idx": 0,
+            "pos_clicks": [{"x": 0.5, "y": 0.5, "obj": 1}],
+            "neg_clicks": [{"x": 0.1, "y": 0.1, "obj": 1}],
+            "rects": [{"x": 0.1, "y": 0.1, "w": 0.3, "h": 0.3, "obj": 2}],
+        }]}
+        out = masker.run_sam2_on_frames(frames, ann)
+        assert len(out) == T and out[0].shape == (H, W, 3)
+        assert out[0].dtype == np.uint8
+    finally:
+        infill.set_config(None)
+        masker.reset_predictor()

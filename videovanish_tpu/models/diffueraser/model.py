@@ -73,7 +73,7 @@ class DiffuEraser:
                  diffueraser_repo: str = None, ckpt: str = "2-Step",
                  config: Optional[DiffuEraserConfig] = None,
                  params=None, seed: int = 0,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, init_mode: str = "auto"):
         # device/sd_repo/vae_repo/diffueraser_repo accepted for reference
         # ctor compatibility (diffuerase.py:39-45); weights come from the
         # config's orbax checkpoints here.
@@ -102,13 +102,22 @@ class DiffuEraser:
             layers_per_block=cfg.layers_per_block,
             num_attention_heads=heads,
             dtype=self.dtype)
-        self.params = params if params is not None else self._init_params()
+        self.params = params if params is not None \
+            else self._init_params(init_mode)
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
-    def _init_params(self):
-        """Load orbax checkpoints if present, else seeded random init."""
+    def _init_params(self, mode: str = "auto"):
+        """Load orbax checkpoints if present, else initialize.
+
+        mode "random": full flax init (traces every module — slow for the
+        production-size model, fine for smoke configs). mode "zeros":
+        shape-only init via eval_shape (instant; checkpoints or training
+        provide real values). "auto" picks by model size.
+        """
         cfg = self.cfg
+        if mode == "auto":
+            mode = "random" if cfg.block_out_channels[0] <= 64 else "zeros"
         key = jax.random.PRNGKey(self.seed)
         kv, ku, kb, kt = jax.random.split(key, 4)
         lat = cfg.sample_channels
@@ -118,14 +127,29 @@ class DiffuEraser:
         bsamp = jnp.zeros((2, 16, 16, 2 * lat + 1), self.dtype)
         t = jnp.zeros((2,), jnp.int32)
 
-        vae_p = self.vae.init(kv, img, method=self.vae.encode)["params"]
-        # ensure decoder params exist too
         zdec = jnp.zeros((1, 4, 4, lat), self.dtype)
-        vae_p2 = self.vae.init(kv, zdec, method=self.vae.decode)["params"]
-        vae_p = {**vae_p2, **vae_p}
+        if mode == "zeros":
+            def zero_init(fn, *a):
+                shapes = jax.eval_shape(fn, *a)["params"]
+                return jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-        unet_p = self.unet.init(ku, z, t, txt, 2)["params"]
-        brush_p = self.brushnet.init(kb, bsamp, t, 2)["params"]
+            vae_enc = zero_init(functools.partial(
+                self.vae.init, method=self.vae.encode), kv, img)
+            vae_dec = zero_init(functools.partial(
+                self.vae.init, method=self.vae.decode), kv, zdec)
+            vae_p = {**vae_dec, **vae_enc}
+            # t_frames must stay static under eval_shape -> close over it
+            unet_p = zero_init(
+                lambda k, a, b, c: self.unet.init(k, a, b, c, 2), ku, z, t, txt)
+            brush_p = zero_init(
+                lambda k, a, b: self.brushnet.init(k, a, b, 2), kb, bsamp, t)
+        else:
+            vae_p = self.vae.init(kv, img, method=self.vae.encode)["params"]
+            vae_p2 = self.vae.init(kv, zdec, method=self.vae.decode)["params"]
+            vae_p = {**vae_p2, **vae_p}
+            unet_p = self.unet.init(ku, z, t, txt, 2)["params"]
+            brush_p = self.brushnet.init(kb, bsamp, t, 2)["params"]
         null_emb = jax.random.normal(kt, (77, cfg.cross_attention_dim),
                                      jnp.float32) * 0.02
 
@@ -245,9 +269,22 @@ class DiffuEraser:
         clip_len = min(cfg.clip_length, T)
         encode, denoise_window, decode = self._get_jitted(clip_len)
 
+        def batched(fn, arr, chunk=8):
+            """Apply fn in fixed-size sub-batches (pad tail) to bound VAE
+            activation memory at high resolutions."""
+            n = arr.shape[0]
+            if n <= chunk:
+                return fn(self.params, arr)
+            pad = (-n) % chunk
+            if pad:
+                arr = jnp.concatenate([arr, arr[-1:].repeat(pad, 0)], 0)
+            outs = [fn(self.params, arr[i:i + chunk])
+                    for i in range(0, arr.shape[0], chunk)]
+            return jnp.concatenate(outs, 0)[:n]
+
         prog(5, "VAE-encoding frames")
-        masked_lat = encode(self.params, x * (1.0 - m_f))
-        prior_lat = encode(self.params, p)
+        masked_lat = batched(encode, x * (1.0 - m_f))
+        prior_lat = batched(encode, p)
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),
@@ -276,7 +313,7 @@ class DiffuEraser:
 
         z_final = acc / wsum
         prog(85, "VAE-decoding frames")
-        rgb = decode(self.params, z_final)  # (T, h, w, 3) in [0,1]
+        rgb = batched(decode, z_final)  # (T, h, w, 3) in [0,1]
         out = np.asarray(jnp.clip(jnp.rint(rgb * 255.0), 0, 255)
                          .astype(jnp.uint8))
         prog(100, "diffusion inpainting done")

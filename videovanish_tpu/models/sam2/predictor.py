@@ -1,0 +1,437 @@
+"""SAM2 streaming video predictor.
+
+API parity with the reference's call surface (sam2_masker.py:84-143):
+  build_sam2_video_predictor(...) -> predictor
+  predictor.init_state(video_path=<list of HxWx3 uint8 RGB frames>)
+  predictor.add_new_points_or_box(inference_state, frame_idx, obj_id,
+                                  points=Nx2 f32 px, labels=N i32 | box xyxy)
+  predictor.propagate_in_video(state) -> yields (frame_idx, obj_ids, logits)
+with masks binarized at logit 0 by the caller (sam2_masker.py:145).
+
+TPU-native streaming design (internals [external] per SURVEY.md §2c):
+  - one jitted program per stage (encode / decode / memory-encode) with
+    static shapes; the per-frame Python loop only routes arrays;
+  - fixed-size memory bank per object: num_maskmem spatial slots (cond
+    frames pinned, recents ring-evicted) + max_obj_ptrs pointer slots,
+    invalid slots masked in attention — no dynamic shapes ever;
+  - objects ride a leading batch axis; the image is encoded once per
+    frame and shared across objects.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovanish_tpu.config import Sam2Config
+from videovanish_tpu.core.checkpoint import maybe_load
+from videovanish_tpu.models.sam2.decoder import MaskDecoder
+from videovanish_tpu.models.sam2.hiera import Hiera
+from videovanish_tpu.models.sam2.memory import MemoryAttention, MemoryEncoder
+from videovanish_tpu.models.sam2.neck import FpnNeck, sine_pos_embed_2d
+from videovanish_tpu.models.sam2.prompt import MAX_POINTS, PromptEncoder
+from videovanish_tpu.ops.resize import resize_bilinear
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class _ObjectBank:
+    """Host-side fixed-capacity memory bank for one object."""
+
+    def __init__(self, num_maskmem: int, max_ptrs: int, tokens: int,
+                 mem_dim: int, ptr_dim: int):
+        self.num_maskmem = num_maskmem
+        self.max_ptrs = max_ptrs
+        self.cond: list[tuple[int, np.ndarray]] = []    # (frame_idx, feat)
+        self.recent: list[tuple[int, np.ndarray]] = []  # ring of non-cond
+        self.ptrs: list[tuple[int, np.ndarray]] = []
+        self.tokens = tokens
+        self.mem_dim = mem_dim
+        self.ptr_dim = ptr_dim
+
+    def add_memory(self, frame_idx: int, feat: np.ndarray, is_cond: bool):
+        if is_cond:
+            self.cond.append((frame_idx, feat))
+            self.cond = self.cond[-self.num_maskmem:]
+        else:
+            self.recent.append((frame_idx, feat))
+            cap = max(1, self.num_maskmem - len(self.cond))
+            self.recent = self.recent[-cap:]
+
+    def add_ptr(self, frame_idx: int, ptr: np.ndarray):
+        self.ptrs.append((frame_idx, ptr))
+        self.ptrs = self.ptrs[-self.max_ptrs:]
+
+    def assemble(self, cur_frame: int):
+        """Fixed-shape (slots*tokens + ptr_tokens, mem_dim) kv + validity +
+        per-token age index (for temporal embedding lookup)."""
+        n, t, d = self.num_maskmem, self.tokens, self.mem_dim
+        feats = np.zeros((n, t, d), np.float32)
+        valid = np.zeros((n,), bool)
+        age = np.zeros((n,), np.int32)
+        slots = list(self.cond) + list(self.recent)
+        for i, (fidx, f) in enumerate(slots[:n]):
+            feats[i] = f
+            valid[i] = True
+            age[i] = min(n - 1, abs(cur_frame - fidx))
+
+        splits = self.ptr_dim // d
+        p_tok = self.max_ptrs * splits
+        ptrs = np.zeros((p_tok, d), np.float32)
+        pvalid = np.zeros((self.max_ptrs,), bool)
+        for i, (fidx, p) in enumerate(self.ptrs[-self.max_ptrs:]):
+            ptrs[i * splits:(i + 1) * splits] = p.reshape(splits, d)
+            pvalid[i] = True
+        pvalid_tok = np.repeat(pvalid, splits)
+        return feats, valid, age, ptrs, pvalid_tok
+
+
+class Sam2VideoPredictor:
+    def __init__(self, config: Optional[Sam2Config] = None, params=None,
+                 seed: int = 0, compute_dtype=jnp.bfloat16):
+        self.cfg = config or Sam2Config()
+        self.dtype = compute_dtype if jax.default_backend() == "tpu" \
+            else jnp.float32
+        cfg = self.cfg
+
+        self.hiera = Hiera(
+            embed_dim=cfg.hiera_embed_dim, num_heads=cfg.hiera_num_heads,
+            stages=cfg.hiera_stages, window_spec=cfg.hiera_window_spec,
+            global_att_blocks=cfg.hiera_global_att_blocks,
+            pos_embed_bkg_size=cfg.hiera_window_pos_embed_bkg_spatial_size,
+            dtype=self.dtype)
+        self.neck = FpnNeck(d_model=cfg.neck_d_model, dtype=self.dtype)
+        self.prompt_encoder = PromptEncoder(embed_dim=cfg.neck_d_model,
+                                            image_size=cfg.image_size)
+        self.decoder = MaskDecoder(
+            embed_dim=cfg.neck_d_model,
+            num_multimask_outputs=cfg.num_multimask_outputs,
+            iou_head_depth=cfg.iou_head_depth, dtype=self.dtype)
+        self.memory_attention = MemoryAttention(
+            num_layers=cfg.memory_attention_layers,
+            d_model=cfg.memory_attention_d_model, kv_dim=cfg.mem_dim,
+            dtype=self.dtype)
+        self.memory_encoder = MemoryEncoder(
+            d_model=cfg.neck_d_model, mem_dim=cfg.mem_dim, dtype=self.dtype)
+
+        self.s16 = cfg.image_size // 16
+        self.tokens16 = self.s16 * self.s16
+        self.params = params if params is not None else self._init_params(seed)
+        self._jit = {}
+
+    # ------------------------------------------------------------------
+    def _init_params(self, seed: int):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 8)
+        img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), self.dtype)
+        big = cfg.hiera_embed_dim >= 96
+
+        def init(fn, *a):
+            if big:
+                shapes = jax.eval_shape(fn, *a)["params"]
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                    shapes)
+            return fn(*a)["params"]
+
+        hiera_p = init(self.hiera.init, ks[0], img)
+        feats_shapes = jax.eval_shape(
+            lambda p, x: self.hiera.apply({"params": p}, x), hiera_p, img)
+        feats = [jnp.zeros(s.shape, s.dtype) for s in feats_shapes]
+        neck_p = init(self.neck.init, ks[1], feats)
+
+        d = cfg.neck_d_model
+        s16 = self.s16
+        pe_p = self.prompt_encoder.init(
+            ks[2], jnp.zeros((1, MAX_POINTS, 2)),
+            jnp.full((1, MAX_POINTS), -1, jnp.int32))["params"]
+        dec_p = init(
+            lambda k: self.decoder.init(
+                k, jnp.zeros((1, s16, s16, d), self.dtype),
+                jnp.zeros((1, s16, s16, d)),
+                jnp.zeros((1, MAX_POINTS + 1, d), self.dtype),
+                jnp.zeros((1, s16 * 4, s16 * 4, d), self.dtype),
+                jnp.zeros((1, s16 * 2, s16 * 2, d), self.dtype)), ks[3])
+        mem_tokens = self.tokens16 * cfg.num_maskmem + \
+            cfg.max_obj_ptrs_in_encoder * (d // cfg.mem_dim)
+        ma_p = init(
+            lambda k: self.memory_attention.init(
+                k, jnp.zeros((1, self.tokens16, d), self.dtype),
+                jnp.zeros((1, self.tokens16, d)),
+                jnp.zeros((1, mem_tokens, cfg.mem_dim), self.dtype),
+                jnp.zeros((1, mem_tokens, cfg.mem_dim)),
+                jnp.zeros((1, mem_tokens), bool)), ks[4])
+        me_p = init(
+            lambda k: self.memory_encoder.init(
+                k, jnp.zeros((1, s16, s16, d), self.dtype),
+                jnp.zeros((1, s16 * 4, s16 * 4, 1), self.dtype)), ks[5])
+
+        # learned temporal position embedding per memory age + ptr embed
+        tpos = jax.random.normal(ks[6], (cfg.num_maskmem, cfg.mem_dim),
+                                 jnp.float32) * 0.02
+        params = {
+            "hiera": hiera_p, "neck": neck_p, "prompt_encoder": pe_p,
+            "decoder": dec_p, "memory_attention": ma_p,
+            "memory_encoder": me_p, "maskmem_tpos_enc": tpos,
+        }
+        loaded = maybe_load(cfg.checkpoint, like=params)
+        return loaded if loaded is not None else params
+
+    # ------------------------------------------------------------------
+    def _fns(self, H0: int, W0: int):
+        key = (H0, W0)
+        if key in self._jit:
+            return self._jit[key]
+        cfg = self.cfg
+        d = cfg.neck_d_model
+        s16 = self.s16
+        pos16 = jnp.asarray(sine_pos_embed_2d(s16, s16, d))
+        mem_spatial_pos = jnp.asarray(
+            sine_pos_embed_2d(s16, s16, cfg.mem_dim)).reshape(
+                self.tokens16, cfg.mem_dim)
+
+        @jax.jit
+        def encode_image(params, img01):
+            """img01: (1, S, S, 3) in [0,1] -> (s4, s8, s16) @ d channels."""
+            x = (img01 - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+            feats = self.hiera.apply({"params": params["hiera"]},
+                                     x.astype(self.dtype))
+            (f4, f8, f16, f32), _pos = self.neck.apply(
+                {"params": params["neck"]}, feats)
+            return f4, f8, f16
+
+        @jax.jit
+        def decode(params, f16, f4, f8, mem_feats, mem_valid, mem_age,
+                   ptr_feats, ptr_valid, points, labels):
+            """Batched over objects (leading axis O).
+            f16: (1, s16, s16, d) shared; mem_feats: (O, n, T16, mem)
+            points: (O, MAX_POINTS, 2) px; labels: (O, MAX_POINTS)."""
+            O = mem_feats.shape[0]
+            n = cfg.num_maskmem
+
+            # memory kv: spatial slots + ptr tokens
+            tpos = params["maskmem_tpos_enc"][mem_age]  # (O, n, mem)
+            mem_pos_sp = mem_spatial_pos[None, None] + tpos[:, :, None, :]
+            kv_sp = mem_feats.reshape(O, n * self.tokens16, cfg.mem_dim)
+            pos_sp = mem_pos_sp.reshape(O, n * self.tokens16, cfg.mem_dim)
+            valid_sp = jnp.repeat(mem_valid, self.tokens16, axis=1)
+
+            kv = jnp.concatenate([kv_sp, ptr_feats], axis=1).astype(self.dtype)
+            pos = jnp.concatenate(
+                [pos_sp, jnp.zeros_like(ptr_feats)], axis=1)
+            valid = jnp.concatenate([valid_sp, ptr_valid], axis=1)
+
+            x = jnp.broadcast_to(f16.reshape(1, self.tokens16, d),
+                                 (O, self.tokens16, d)).astype(self.dtype)
+            any_mem = jnp.any(valid, axis=1, keepdims=True)  # (O, 1)
+            cond = self.memory_attention.apply(
+                {"params": params["memory_attention"]},
+                x, pos16.reshape(1, self.tokens16, d), kv, pos, valid)
+            # frames with no memory yet (first prompt) skip conditioning
+            x = jnp.where(any_mem[..., None], cond, x)
+            x = x.reshape(O, s16, s16, d)
+
+            sparse, _ = self.prompt_encoder.apply(
+                {"params": params["prompt_encoder"]}, points, labels)
+            pad = jnp.zeros((O, 1, d), sparse.dtype)
+            sparse = jnp.concatenate([sparse, pad], axis=1)
+
+            out = self.decoder.apply(
+                {"params": params["decoder"]}, x,
+                jnp.broadcast_to(pos16[None], (O, s16, s16, d)),
+                sparse.astype(self.dtype),
+                jnp.broadcast_to(f4, (O,) + f4.shape[1:]),
+                jnp.broadcast_to(f8, (O,) + f8.shape[1:]))
+
+            # pick best mask by predicted IoU
+            best = jnp.argmax(out["iou"], axis=-1)  # (O,)
+            masks = jnp.take_along_axis(
+                out["masks"], best[:, None, None, None], axis=1)[:, 0]
+            # low-res logits at stride 4 -> full video resolution
+            logits_full = resize_bilinear(masks[..., None], H0, W0)[..., 0]
+            return masks[..., None], logits_full, out["obj_ptr"], x
+
+        @jax.jit
+        def encode_memory(params, cond_f16, mask_logits_s4):
+            return self.memory_encoder.apply(
+                {"params": params["memory_encoder"]},
+                cond_f16, mask_logits_s4.astype(self.dtype)
+            ).astype(jnp.float32).reshape(-1, self.tokens16, cfg.mem_dim)
+
+        fns = (encode_image, decode, encode_memory)
+        self._jit[key] = fns
+        return fns
+
+    # ------------------------------------------------------------------
+    # Reference API
+    # ------------------------------------------------------------------
+    def init_state(self, video_path):
+        """video_path: list of (H,W,3) uint8 RGB frames (the fork's
+        numpy-frames contract, sam2_masker.py:89)."""
+        frames = video_path
+        assert len(frames) > 0
+        H0, W0 = frames[0].shape[:2]
+        return {
+            "frames": frames,
+            "H0": H0, "W0": W0,
+            "prompts": {},      # frame_idx -> {obj_id: {pts, labels}}
+            "obj_ids": [],
+            "feat_cache": {},   # frame_idx -> (f4, f8, f16) for cond frames
+        }
+
+    def reset_state(self, inference_state):
+        inference_state["prompts"] = {}
+        inference_state["obj_ids"] = []
+        inference_state["feat_cache"] = {}
+
+    def add_new_points_or_box(self, inference_state, frame_idx, obj_id,
+                              points=None, labels=None, box=None,
+                              clear_old_points: bool = True,
+                              normalize_coords: bool = True):
+        state = inference_state
+        H0, W0 = state["H0"], state["W0"]
+        S = self.cfg.image_size
+        scale_x, scale_y = S / W0, S / H0
+
+        pts, labs = [], []
+        if points is not None:
+            for p, l in zip(np.asarray(points, np.float32),
+                            np.asarray(labels, np.int32)):
+                pts.append([p[0] * scale_x, p[1] * scale_y])
+                labs.append(int(l))
+        if box is not None:
+            b = np.asarray(box, np.float32)
+            pts.append([b[0] * scale_x, b[1] * scale_y]); labs.append(2)
+            pts.append([b[2] * scale_x, b[3] * scale_y]); labs.append(3)
+
+        fp = state["prompts"].setdefault(int(frame_idx), {})
+        entry = fp.setdefault(int(obj_id), {"pts": [], "labels": []})
+        if clear_old_points and box is None and points is not None:
+            pass  # reference batches all clicks per call already
+        entry["pts"].extend(pts)
+        entry["labels"].extend(labs)
+        if int(obj_id) not in state["obj_ids"]:
+            state["obj_ids"].append(int(obj_id))
+
+        # immediate single-frame prediction (interactive preview contract)
+        frame_idx = int(frame_idx)
+        logits = self._predict_prompt_frame(state, frame_idx)
+        return frame_idx, list(state["obj_ids"]), logits
+
+    # ------------------------------------------------------------------
+    def _encode_frame(self, state, frame_idx):
+        cache = state["feat_cache"]
+        if frame_idx in cache:
+            return cache[frame_idx]
+        S = self.cfg.image_size
+        f = state["frames"][frame_idx]
+        img = jnp.asarray(f, jnp.float32)[None] / 255.0
+        img = resize_bilinear(img, S, S)
+        encode_image, _, _ = self._fns(state["H0"], state["W0"])
+        feats = encode_image(self.params, img)
+        if frame_idx in state["prompts"]:
+            cache[frame_idx] = feats
+        return feats
+
+    def _prompt_arrays(self, state, frame_idx):
+        O = len(state["obj_ids"])
+        points = np.zeros((O, MAX_POINTS, 2), np.float32)
+        labels = np.full((O, MAX_POINTS), -1, np.int32)
+        fp = state["prompts"].get(frame_idx, {})
+        for oi, obj_id in enumerate(state["obj_ids"]):
+            e = fp.get(obj_id)
+            if e is None:
+                continue
+            n = min(len(e["pts"]), MAX_POINTS)
+            if n:
+                points[oi, :n] = np.asarray(e["pts"][:n], np.float32)
+                labels[oi, :n] = np.asarray(e["labels"][:n], np.int32)
+        return points, labels
+
+    def _empty_banks(self, O):
+        cfg = self.cfg
+        return [
+            _ObjectBank(cfg.num_maskmem, cfg.max_obj_ptrs_in_encoder,
+                        self.tokens16, cfg.mem_dim, cfg.neck_d_model)
+            for _ in range(O)
+        ]
+
+    def _banks_arrays(self, banks, cur_frame):
+        cfg = self.cfg
+        fs, vs, ags, ps, pvs = [], [], [], [], []
+        for b in banks:
+            f, v, a, p, pv = b.assemble(cur_frame)
+            fs.append(f); vs.append(v); ags.append(a); ps.append(p)
+            pvs.append(pv)
+        return (jnp.asarray(np.stack(fs)), jnp.asarray(np.stack(vs)),
+                jnp.asarray(np.stack(ags)), jnp.asarray(np.stack(ps)),
+                jnp.asarray(np.stack(pvs)))
+
+    def _predict_prompt_frame(self, state, frame_idx):
+        """Memoryless single-frame decode for interactive feedback."""
+        O = len(state["obj_ids"])
+        f4, f8, f16 = self._encode_frame(state, frame_idx)
+        _, decode, _ = self._fns(state["H0"], state["W0"])
+        banks = self._empty_banks(O)
+        mem = self._banks_arrays(banks, frame_idx)
+        points, labels = self._prompt_arrays(state, frame_idx)
+        _, logits_full, _, _ = decode(
+            self.params, f16, f4, f8, *mem,
+            jnp.asarray(points), jnp.asarray(labels))
+        return np.asarray(logits_full)
+
+    def propagate_in_video(self, inference_state, start_frame_idx=None,
+                           max_frame_num_to_track=None, reverse=False):
+        """Yield (frame_idx, obj_ids, mask_logits) streaming through the
+        video from the first prompted frame (reference consumption at
+        sam2_masker.py:143-147)."""
+        state = inference_state
+        obj_ids = list(state["obj_ids"])
+        O = len(obj_ids)
+        if O == 0:
+            return
+        T = len(state["frames"])
+        prompt_frames = sorted(state["prompts"].keys())
+        first = start_frame_idx if start_frame_idx is not None \
+            else (prompt_frames[0] if prompt_frames else 0)
+        last = T if max_frame_num_to_track is None \
+            else min(T, first + max_frame_num_to_track)
+
+        _, decode, encode_memory = self._fns(state["H0"], state["W0"])
+        banks = self._empty_banks(O)
+
+        for t in range(first, last):
+            f4, f8, f16 = self._encode_frame(state, t)
+            is_cond = t in state["prompts"]
+            mem = self._banks_arrays(banks, t)
+            if is_cond:
+                points, labels = self._prompt_arrays(state, t)
+            else:
+                points = np.zeros((O, MAX_POINTS, 2), np.float32)
+                labels = np.full((O, MAX_POINTS), -1, np.int32)
+            masks_s4, logits_full, obj_ptr, cond_f16 = decode(
+                self.params, f16, f4, f8, *mem,
+                jnp.asarray(points), jnp.asarray(labels))
+
+            mem_feat = encode_memory(self.params, cond_f16, masks_s4)
+            mem_feat = np.asarray(mem_feat)
+            ptr = np.asarray(obj_ptr)
+            for oi in range(O):
+                banks[oi].add_memory(t, mem_feat[oi], is_cond)
+                banks[oi].add_ptr(t, ptr[oi])
+
+            logits = np.asarray(logits_full)  # (O, H0, W0)
+            yield t, obj_ids, [logits[i] for i in range(O)]
+
+
+def build_sam2_video_predictor(config_file=None, ckpt_path=None, device=None,
+                               config: Optional[Sam2Config] = None,
+                               **kwargs) -> Sam2VideoPredictor:
+    """Factory matching the reference call
+    `build_sam2_video_predictor(SAM2_MODEL_CFG, SAM2_CHECKPOINT, device=...)`
+    (sam2_masker.py:84). config_file/ckpt_path/device are accepted for
+    compatibility; the orbax checkpoint comes from the Sam2Config."""
+    return Sam2VideoPredictor(config=config)
