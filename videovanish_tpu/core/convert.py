@@ -1,0 +1,172 @@
+"""Weight porting: torch/HF checkpoints -> videovanish_tpu orbax pytrees.
+
+The reference downloads torch weights at install/first-run
+(install_videovanish.sh:68-70; HF ids diffuerase.py:41-44,49; SAM2 ckpt
+sam2_masker.py:19-20). This is the one-time conversion path (SURVEY.md
+§2c "checkpoint/weight acquisition"): load a torch/safetensors state
+dict on host, remap names, transpose layouts, save with orbax.
+
+Layout transforms (torch -> flax/NHWC):
+  conv weight   (O, I, kh, kw) -> (kh, kw, I, O)
+  convT weight  (I, O, kh, kw) -> (kh, kw, I, O)  [flax ConvTranspose]
+  linear weight (O, I)         -> (I, O)
+  norm weight/bias             -> scale/bias (unchanged)
+
+Name mapping is rule-based: our module scope names were chosen to equal
+the public diffusers/SAM2 key prefixes with dots flattened to
+underscores at the block level, so most keys map mechanically; the
+remaining irregulars are explicit rules. Conversion runs entirely on
+host (numpy) — no TPU needed.
+"""
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# tensor-level transforms
+# ---------------------------------------------------------------------------
+def t_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_conv_transpose(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def t_identity(w: np.ndarray) -> np.ndarray:
+    return w
+
+
+# ---------------------------------------------------------------------------
+# generic name remapping
+# ---------------------------------------------------------------------------
+_BLOCK_PAT = re.compile(
+    r"\b(down_blocks|up_blocks|mid_block|attentions|resnets|motion_modules|"
+    r"downsamplers|upsamplers|transformer_blocks|blocks|layers|net)\.(\d+)")
+
+
+def flatten_block_indices(key: str) -> str:
+    """'down_blocks.0.resnets.1.conv1.weight' ->
+    'down_blocks_0.resnets_1.conv1.weight' (indices fold into the name)."""
+    prev = None
+    while prev != key:
+        prev = key
+        key = _BLOCK_PAT.sub(lambda m: f"{m.group(1)}_{m.group(2)}", key)
+    return key
+
+
+def set_in(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _leaf_transform(torch_key: str, arr: np.ndarray):
+    """Decide flax leaf name + layout transform from the torch key/shape."""
+    if torch_key.endswith(".bias"):
+        return "bias", t_identity
+    if not torch_key.endswith(".weight"):
+        return torch_key.rsplit(".", 1)[-1], t_identity
+    if arr.ndim == 4:
+        return "kernel", t_conv
+    if arr.ndim == 2:
+        return "kernel", t_linear
+    return "scale", t_identity  # 1-D norm weight
+
+
+def convert_state_dict(state: dict, rules: list[tuple[str, str]],
+                       scope_merge: Callable[[str], str] = None) -> dict:
+    """Convert a torch state dict into a nested flax params dict.
+
+    rules: ordered (regex, replacement) applied to each dotted key before
+    the generic index flattening; a replacement of None drops the key.
+    """
+    out: dict = {}
+    for key, val in state.items():
+        arr = np.asarray(val)
+        k = key
+        dropped = False
+        for pat, rep in rules:
+            if re.search(pat, k):
+                if rep is None:
+                    dropped = True
+                    break
+                k = re.sub(pat, rep, k)
+        if dropped:
+            continue
+        k = flatten_block_indices(k)
+        parts = k.split(".")
+        leaf, transform = _leaf_transform(key, arr)
+        parts[-1] = leaf
+        set_in(out, parts, transform(arr))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# model-specific rule sets (public diffusers / SAM2 key families)
+# ---------------------------------------------------------------------------
+# diffusers AutoencoderKL -> models/diffueraser/vae.py naming
+VAE_RULES: list[tuple[str, str]] = [
+    (r"\.norm1\.weight$", ".norm1.scale_"),       # placeholder, see below
+]
+
+# GroupNorm leaves: our GroupNorm uses scale/bias; torch uses weight/bias.
+# The generic _leaf_transform already maps 1-D weight -> scale, so the only
+# real VAE irregulars are the attention projections inside the mid block.
+VAE_RULES = [
+    (r"mid_block\.attentions\.0\.to_out\.0", "mid_block.attentions.0.attn.to_out_0"),
+    (r"mid_block\.attentions\.0\.to_(q|k|v)", r"mid_block.attentions.0.attn.to_\1"),
+    (r"mid_block\.attentions\.0\.group_norm", "mid_block.attentions.0.group_norm"),
+    (r"downsamplers\.0\.conv", "downsamplers.0.conv"),
+]
+
+# diffusers UNet2DConditionModel -> models/diffueraser/unet.py naming
+UNET_RULES: list[tuple[str, str]] = [
+    # attention out proj list index
+    (r"\.to_out\.0\.", ".to_out_0."),
+    # GEGLU / FF naming: ff.net.0.proj, ff.net.2 already match net_0/net_2
+    # time embedding linear names already match linear_1/linear_2
+    # mid block flattening: mid_block.resnets.0 -> mid_block_resnets_0
+    (r"^mid_block\.", "mid_block."),
+]
+
+# SAM2 torch checkpoint -> models/sam2 naming (refined when porting runs)
+SAM2_RULES: list[tuple[str, str]] = [
+    (r"^image_encoder\.trunk\.", "hiera."),
+    (r"^image_encoder\.neck\.", "neck."),
+    (r"^sam_prompt_encoder\.", "prompt_encoder."),
+    (r"^sam_mask_decoder\.", "decoder."),
+    (r"^memory_attention\.", "memory_attention."),
+    (r"^memory_encoder\.", "memory_encoder."),
+    (r"\.attn\.qkv\.", ".attn.qkv."),
+    (r"\.mlp\.layers\.0\.", ".mlp_fc1."),
+    (r"\.mlp\.layers\.1\.", ".mlp_fc2."),
+]
+
+
+def convert_torch_file(path: str, rules, out_path: str = None):
+    """Load a .pt/.pth/.safetensors file and convert. Torch stays a
+    host-side conversion dependency only."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        state = load_file(path)
+    else:
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        state = obj.get("model", obj.get("state_dict", obj)) \
+            if isinstance(obj, dict) else obj
+        state = {k: v.numpy() for k, v in state.items()}
+    tree = convert_state_dict(state, rules)
+    if out_path:
+        from videovanish_tpu.core.checkpoint import save_pytree
+        save_pytree(out_path, tree)
+    return tree

@@ -132,7 +132,9 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        # exact (erf) GELU for torch parity
+        gate = nn.gelu(gate.astype(jnp.float32), approximate=False)
+        return h * gate.astype(h.dtype)
 
 
 class FeedForward(nn.Module):
@@ -154,13 +156,13 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
                           name="attn1")(h.astype(x.dtype))
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + Attention(self.num_heads, self.head_dim, dtype=self.dtype,
                           name="attn2")(h.astype(x.dtype), context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForward(dtype=self.dtype, name="ff")(h.astype(x.dtype))
         return x
 

@@ -1,0 +1,251 @@
+"""Propainter: flow-guided video inpainting prior.
+
+Call surface mirrors the reference (ctor diffuerase.py:49, forward
+:52-57): Propainter(repo_id, device); .forward(frames, masks,
+ref_stride=10, neighbor_length=10, subvideo_length=50, mask_dilation=0,
+progress) -> prior frames consumed by DiffuEraser.
+
+TPU-native structure (internals [external] per SURVEY.md §2c):
+  RAFT-lite flow (batched over all consecutive pairs, both directions,
+  one MXU-dense program) -> flow completion in the holes -> image-domain
+  bidirectional scan propagation -> feature-domain propagation + sparse
+  spatiotemporal transformer (neighbor window + strided global refs) ->
+  decode + composite. Sub-video chunking (subvideo_length) bounds memory
+  exactly like the reference's deps; chunks are padded to a fixed length
+  so every chunk reuses one compiled program.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovanish_tpu.config import ProPainterConfig
+from videovanish_tpu.core.checkpoint import maybe_load
+from videovanish_tpu.core.prog import null_prog
+from videovanish_tpu.models.propainter.flow_completion import FlowCompletion
+from videovanish_tpu.models.propainter.propagation import (
+    bidirectional_propagation,
+)
+from videovanish_tpu.models.propainter.raft import RaftLite
+from videovanish_tpu.models.propainter.transformer import SparseTransformer
+from videovanish_tpu.ops.morphology import binary_dilation
+from videovanish_tpu.ops.resize import (
+    plan_long_side, resize_bilinear, resize_nearest_2d,
+)
+
+
+class FeatEncoder(nn.Module):
+    ch: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Conv(self.ch // 2, (3, 3), strides=(2, 2), padding=1,
+                            dtype=self.dtype, name="conv1")(x))
+        h = nn.relu(nn.Conv(self.ch, (3, 3), strides=(2, 2), padding=1,
+                            dtype=self.dtype, name="conv2")(h))
+        return nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv3")(h)
+
+
+class FeatDecoder(nn.Module):
+    ch: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        h = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        h = nn.relu(nn.Conv(self.ch // 2, (3, 3), padding=1,
+                            dtype=self.dtype, name="conv1")(h))
+        h = jax.image.resize(h, (B, H * 4, W * 4, self.ch // 2),
+                             method="nearest")
+        h = nn.relu(nn.Conv(self.ch // 4, (3, 3), padding=1,
+                            dtype=self.dtype, name="conv2")(h))
+        return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+class Propainter:
+    def __init__(self, repo_id=None, device=None,
+                 config: Optional[ProPainterConfig] = None, params=None,
+                 seed: int = 0, compute_dtype=jnp.bfloat16):
+        # repo_id/device accepted for reference ctor parity
+        self.cfg = config or ProPainterConfig()
+        self.dtype = compute_dtype if jax.default_backend() == "tpu" \
+            else jnp.float32
+        cfg = self.cfg
+        self.raft = RaftLite(feat_ch=cfg.flow_hidden * 2,
+                             hidden=max(32, cfg.flow_hidden),
+                             iters=cfg.raft_iters, dtype=self.dtype)
+        self.flow_comp = FlowCompletion(ch=max(32, cfg.channels // 2),
+                                        dtype=self.dtype)
+        self.encoder = FeatEncoder(cfg.channels, dtype=self.dtype)
+        self.transformer = SparseTransformer(cfg.channels, depth=4,
+                                             dtype=self.dtype)
+        self.decoder = FeatDecoder(cfg.channels, dtype=self.dtype)
+        self.params = params if params is not None else self._init_params(seed)
+        self._jit = {}
+
+    # ------------------------------------------------------------------
+    def _init_params(self, seed: int):
+        key = jax.random.PRNGKey(seed)
+        ks = jax.random.split(key, 5)
+        big = self.cfg.channels > 64
+        h, w = 64, 64
+
+        def init(fn, *a):
+            if big:
+                shapes = jax.eval_shape(fn, *a)["params"]
+                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                    shapes)
+            return fn(*a)["params"]
+
+        img = jnp.zeros((2, h, w, 3), self.dtype)
+        params = {
+            "raft": init(self.raft.init, ks[0], img, img),
+            "flow_comp": init(self.flow_comp.init, ks[1],
+                              jnp.zeros((2, h, w, 2)),
+                              jnp.zeros((2, h, w, 1))),
+            "encoder": init(self.encoder.init, ks[2],
+                            jnp.zeros((2, h, w, 5), self.dtype)),
+            "transformer": init(self.transformer.init, ks[3],
+                                jnp.zeros((2, h // 4, w // 4,
+                                           self.cfg.channels), self.dtype)),
+            "decoder": init(self.decoder.init, ks[4],
+                            jnp.zeros((2, h // 4, w // 4, self.cfg.channels),
+                                      self.dtype)),
+        }
+        loaded = maybe_load(self.cfg.checkpoint, like=params)
+        return loaded if loaded is not None else params
+
+    # ------------------------------------------------------------------
+    def _chunk_fn(self, T: int, h: int, w: int,
+                  neighbor_length: int, ref_stride: int):
+        key = (T, h, w, neighbor_length, ref_stride)
+        if key in self._jit:
+            return self._jit[key]
+
+        raft, flow_comp = self.raft, self.flow_comp
+        encoder, transformer, decoder = (self.encoder, self.transformer,
+                                         self.decoder)
+
+        @jax.jit
+        def run_chunk(params, frames01, masks1):
+            """frames01: (T, h, w, 3) f32 [0,1]; masks1: (T, h, w, 1) f32."""
+            imgs = (frames01 * 2.0 - 1.0).astype(self.dtype)
+
+            # 1. flows for all consecutive pairs, both directions, one batch
+            pair_a = jnp.concatenate([imgs[1:], imgs[:-1]], axis=0)
+            pair_b = jnp.concatenate([imgs[:-1], imgs[1:]], axis=0)
+            flows = raft.apply({"params": params["raft"]}, pair_a, pair_b)
+            flow_to_prev = flows[:T - 1]   # frame t -> t-1 (t = 1..T-1)
+            flow_to_next = flows[T - 1:]   # frame t -> t+1 (t = 0..T-2)
+
+            # 2. complete flows inside the holes
+            cf_prev = flow_comp.apply({"params": params["flow_comp"]},
+                                      flow_to_prev, masks1[1:])
+            cf_next = flow_comp.apply({"params": params["flow_comp"]},
+                                      flow_to_next, masks1[:-1])
+
+            # 3. image-domain bidirectional propagation
+            prop_img, remaining = bidirectional_propagation(
+                frames01, masks1, cf_prev, cf_next)
+
+            # 4. feature-domain: encode, propagate at 1/4, transform, decode
+            enc_in = jnp.concatenate(
+                [(prop_img * 2.0 - 1.0), masks1, remaining],
+                axis=-1).astype(self.dtype)
+            feat = encoder.apply({"params": params["encoder"]}, enc_in)
+            h4, w4 = feat.shape[1], feat.shape[2]
+            m4 = resize_nearest_2d(masks1[..., 0], h4, w4)[..., None]
+            r4 = resize_nearest_2d(remaining[..., 0], h4, w4)[..., None]
+            fl_prev4 = resize_bilinear(cf_prev, h4, w4) / 4.0
+            fl_next4 = resize_bilinear(cf_next, h4, w4) / 4.0
+            feat, _ = bidirectional_propagation(
+                feat.astype(jnp.float32), r4.astype(jnp.float32),
+                fl_prev4, fl_next4)
+            feat = transformer.apply({"params": params["transformer"]},
+                                     feat.astype(self.dtype))
+            dec = decoder.apply({"params": params["decoder"]}, feat)
+            dec01 = (dec.astype(jnp.float32) + 1.0) / 2.0
+
+            pred = prop_img * (1.0 - remaining) + dec01 * remaining
+            out = frames01 * (1.0 - masks1) + pred * masks1
+            return jnp.clip(out, 0.0, 1.0)
+
+        self._jit[key] = run_chunk
+        return run_chunk
+
+    # ------------------------------------------------------------------
+    def forward(self, frames, masks, ref_stride: int = 10,
+                neighbor_length: int = 10, subvideo_length: int = 50,
+                mask_dilation: int = 0, progress=None):
+        """frames: list of (H,W,3) RGB uint8; masks: list of (H,W) or
+        (H,W,3) uint8, nonzero = hole. Returns list of (H,W,3) uint8."""
+        prog = progress or null_prog
+        frames = np.stack([np.asarray(f) for f in frames])
+        T, H0, W0 = frames.shape[:3]
+        masks_np = np.stack([np.asarray(m) for m in masks])
+        if masks_np.ndim == 4:
+            masks_np = np.any(masks_np > 0, axis=-1)
+        m = jnp.asarray(masks_np > 0)
+        if mask_dilation > 0:
+            m = binary_dilation(m, mask_dilation)
+
+        h, w = plan_long_side(H0, W0, self.cfg.max_img_size, 8)
+        x = jnp.asarray(frames, jnp.float32) / 255.0
+        if (H0, W0) != (h, w):
+            x = resize_bilinear(x, h, w)
+            m = resize_nearest_2d(m.astype(jnp.uint8), h, w) > 0
+        m1 = m.astype(jnp.float32)[..., None]
+
+        if T < 2:
+            # degenerate single-frame case: nothing to propagate from;
+            # seed the hole with the unmasked mean color (stable prior)
+            known = 1.0 - m1
+            mean = (x * known).sum(axis=(1, 2), keepdims=True) / \
+                jnp.maximum(known.sum(axis=(1, 2), keepdims=True), 1.0)
+            out1 = x * known + mean * m1
+            if (H0, W0) != (h, w):
+                out1 = resize_bilinear(out1, H0, W0)
+            res = np.asarray(jnp.clip(jnp.rint(out1 * 255.0), 0, 255)
+                             .astype(jnp.uint8))
+            return [res[i] for i in range(T)]
+
+        sub = max(2, min(subvideo_length, T))
+        overlap = min(4, sub // 2) if T > sub else 0
+        run = self._chunk_fn(sub, h, w, neighbor_length, ref_stride)
+
+        out = np.zeros((T, h, w, 3), np.float32)
+        wsum = np.zeros((T, 1, 1, 1), np.float32)
+        start = 0
+        n_chunks = max(1, -(-(T - overlap) // (sub - overlap))) if T > sub else 1
+        ci = 0
+        while start < T:
+            end = min(start + sub, T)
+            s = max(0, end - sub)  # pad window back to full sub length
+            prog(20 + 28 * ci / n_chunks, f"propainter chunk {ci + 1}")
+            chunk = run(self.params, x[s:s + sub], m1[s:s + sub])
+            chunk = np.asarray(chunk)
+            bw = np.ones((sub,), np.float32)
+            out[s:s + sub] += chunk * bw[:, None, None, None]
+            wsum[s:s + sub] += bw[:, None, None, None]
+            ci += 1
+            if end >= T:
+                break
+            start = end - overlap
+        out = out / wsum
+
+        res = jnp.asarray(out)
+        if (H0, W0) != (h, w):
+            res = resize_bilinear(res, H0, W0)
+        res = np.asarray(jnp.clip(jnp.rint(res * 255.0), 0, 255)
+                         .astype(jnp.uint8))
+        return [res[i] for i in range(T)]
+
+    __call__ = forward

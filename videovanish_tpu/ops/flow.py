@@ -61,6 +61,11 @@ def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray,
     cur = corr
     for _ in range(num_levels - 1):
         Bc, Hc, Wc, h2, w2 = cur.shape
+        ph, pw = h2 % 2, w2 % 2
+        if ph or pw:  # odd level dims: edge-pad so 2x2 pooling stays exact
+            cur = jnp.pad(cur, ((0, 0), (0, 0), (0, 0), (0, ph), (0, pw)),
+                          mode="edge")
+            h2, w2 = h2 + ph, w2 + pw
         cur = cur.reshape(Bc, Hc, Wc, h2 // 2, 2, w2 // 2, 2).mean(axis=(4, 6))
         pyr.append(cur)
     return pyr
