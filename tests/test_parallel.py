@@ -1,0 +1,74 @@
+"""Parallelism: ring attention vs dense reference on the virtual 8-device
+mesh; sharding rules; train-step dp x tp execution (SURVEY.md §2e —
+designed-in parallelism the reference lacks)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from videovanish_tpu.core.mesh import make_mesh
+
+
+def dense_attention(q, k, v):
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * (q.shape[-1] ** -0.5)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("S", [16, 64])
+    def test_matches_dense(self, rng, S):
+        from videovanish_tpu.parallel.ring_attention import make_ring_attention
+        mesh = make_mesh(jax.devices()[:8], model_parallel=1)
+        B, H, D = 2, 3, 16
+        q = rng.standard_normal((B, H, S, D)).astype(np.float32)
+        k = rng.standard_normal((B, H, S, D)).astype(np.float32)
+        v = rng.standard_normal((B, H, S, D)).astype(np.float32)
+        fn = make_ring_attention(mesh)
+        out = np.asarray(fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        ref = dense_attention(q, k, v)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_works_on_submesh(self, rng):
+        from videovanish_tpu.parallel.ring_attention import make_ring_attention
+        mesh = make_mesh(jax.devices()[:4], model_parallel=1)
+        q = rng.standard_normal((1, 2, 32, 8)).astype(np.float32)
+        fn = make_ring_attention(mesh)
+        out = np.asarray(fn(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q)))
+        np.testing.assert_allclose(out, dense_attention(q, q, q), atol=2e-5)
+
+
+class TestShardingRules:
+    def test_attention_params_split_over_model(self):
+        from videovanish_tpu.parallel.sharding import param_sharding_rules
+        mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+        params = {
+            "attn1": {"to_q": {"kernel": jnp.zeros((8, 8))},
+                      "to_out_0": {"kernel": jnp.zeros((8, 8)),
+                                   "bias": jnp.zeros((8,))}},
+            "conv1": {"kernel": jnp.zeros((3, 3, 4, 8)),
+                      "bias": jnp.zeros((8,))},
+        }
+        sh = param_sharding_rules(params, mesh)
+        assert sh["attn1"]["to_q"]["kernel"].spec == P(None, "model")
+        assert sh["attn1"]["to_out_0"]["kernel"].spec == P("model", None)
+        assert sh["conv1"]["kernel"].spec == P()  # convs replicated
+
+    def test_shard_params_places_on_mesh(self):
+        from videovanish_tpu.parallel.sharding import shard_params
+        mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+        params = {"to_q": {"kernel": jnp.ones((8, 16))}}
+        out = shard_params(params, mesh)
+        assert out["to_q"]["kernel"].sharding.spec == P(None, "model")
+
+
+class TestDryrunMultichip:
+    def test_graft_dryrun(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)  # raises on any sharding/compile failure

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Inference resolution, long side (default: 960).")
     ap.add_argument("--mask_dilation_iter", type=int, default=8,
                     help="Mask dilation iterations (default: 8).")
+    ap.add_argument("--chunked", choices=["auto", "on", "off"], default="auto",
+                    help="Stream long videos through overlapped chunks with "
+                         "resume support (auto: on for long videos when no "
+                         "prior video is given).")
     return ap
 
 
@@ -43,6 +47,22 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     assert os.path.isfile(args.color_video), "input video missing"
     out_video = args.out or (args.color_video + "_vanished.mkv")
+
+    if args.chunked != "off" and args.prior_video is None:
+        from videovanish_tpu.pipeline.chunking import vanish_video_chunked
+        from videovanish_tpu.pipeline.infill import _get_config
+        from videovanish_tpu.video.io import probe_video
+        n, _, _, _ = probe_video(args.color_video)
+        if args.max_frames > 0:
+            n = min(n, args.max_frames)
+        chunk = _get_config().chunking.chunk_frames
+        if args.chunked == "on" or n > 2 * chunk:
+            vanish_video_chunked(
+                args.color_video, args.mask_video, out_video,
+                start_frame=args.start_frame, max_frames=args.max_frames,
+                mask_dilation_iter=args.mask_dilation_iter,
+                max_img_size=args.max_img_size)
+            return
 
     frames, fps = load_video_frames_from_path(
         args.color_video, args.start_frame, args.max_frames)

@@ -36,6 +36,21 @@ def f32_policy() -> Policy:
     return Policy(compute_dtype=jnp.float32)
 
 
+def cast_params_for_inference(params, compute_dtype=jnp.bfloat16):
+    """Cast matmul/conv weights (ndim>=2) to the compute dtype for
+    inference: on TPU this halves HBM weight traffic and feeds the MXU
+    bf16 directly. 1-D leaves (norm scales/biases) stay f32 so
+    normalization math keeps full precision."""
+    import jax
+
+    def cast(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.dtype == jnp.float32:
+            return x.astype(compute_dtype)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
 def policy_from_config(precision_cfg) -> Policy:
     return Policy(
         param_dtype=jnp.dtype(precision_cfg.param_dtype),

@@ -104,6 +104,9 @@ class DiffuEraser:
             dtype=self.dtype)
         self.params = params if params is not None \
             else self._init_params(init_mode)
+        if self.dtype == jnp.bfloat16:
+            from videovanish_tpu.core.precision import cast_params_for_inference
+            self.params = cast_params_for_inference(self.params, self.dtype)
         self._jit_cache = {}
 
     # ------------------------------------------------------------------

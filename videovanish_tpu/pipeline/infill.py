@@ -24,6 +24,7 @@ from videovanish_tpu.config import default_config
 from videovanish_tpu.core.prog import null_prog
 from videovanish_tpu.ops.composite import feathered_composite
 from videovanish_tpu.ops.morphology import binarize_and_dilate
+from videovanish_tpu.utils.observability import maybe_profile, stage_timer
 
 # lazy global model singletons (reference diffuerase.py:15-18)
 video_inpainting_sd = None
@@ -89,44 +90,49 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
     prog(5, "dilating frames")
     if masks.ndim == 3:  # (T, H, W) channel-less -> add channel axis
         masks = np.repeat(masks[..., None], 3, axis=-1)
-    dilated = binarize_and_dilate(jnp.asarray(masks), mask_dilation_iter)
-    dilated_np = np.asarray(dilated)  # (T, H, W) uint8 {0,255}
+    with stage_timer("mask_dilate", frames=T):
+        dilated = binarize_and_dilate(jnp.asarray(masks), mask_dilation_iter)
+        dilated_np = np.asarray(dilated)  # (T, H, W) uint8 {0,255}
 
     prog(10, "loading weights")
     model, pp = _get_models(ckpt or "2-Step")
 
-    if propainer_frames is None and pp is not None:
-        prog(20, "running propainter prior")
-        cfg = _get_config().propainter
-        propainer_frames = pp.forward(
-            [frames[i] for i in range(T)],
-            [dilated_np[i] for i in range(T)],
-            ref_stride=cfg.ref_stride,
-            neighbor_length=cfg.neighbor_length,
-            subvideo_length=cfg.subvideo_length,
-            mask_dilation=0,
-            progress=prog,
-        )
+    with maybe_profile():
+        if propainer_frames is None and pp is not None:
+            prog(20, "running propainter prior")
+            cfg = _get_config().propainter
+            with stage_timer("propainter_prior", frames=T):
+                propainer_frames = pp.forward(
+                    [frames[i] for i in range(T)],
+                    [dilated_np[i] for i in range(T)],
+                    ref_stride=cfg.ref_stride,
+                    neighbor_length=cfg.neighbor_length,
+                    subvideo_length=cfg.subvideo_length,
+                    mask_dilation=0,
+                    progress=prog,
+                )
 
-    prog(50, "running DiffuEraser")
-    inpainted = model.forward(
-        [frames[i] for i in range(T)],
-        [dilated_np[i] for i in range(T)],
-        propainer_frames,
-        max_img_size=max_img_size,
-        mask_dilation_iter=0,
-        guidance_scale=None,
-        progress=prog,
-    )
+        prog(50, "running DiffuEraser")
+        with stage_timer("diffueraser_denoise", frames=T):
+            inpainted = model.forward(
+                [frames[i] for i in range(T)],
+                [dilated_np[i] for i in range(T)],
+                propainer_frames,
+                max_img_size=max_img_size,
+                mask_dilation_iter=0,
+                guidance_scale=None,
+                progress=prog,
+            )
 
-    prog(90, "resizing and merging finished frames")
-    out = feathered_composite(
-        jnp.asarray(np.stack(inpainted)),
-        jnp.asarray(frames),
-        dilated,
-        float(feather_px),
-        keep_unmasked_original=keep_unmasked_original,
-    )
-    out_np = np.asarray(out)
+        prog(90, "resizing and merging finished frames")
+        with stage_timer("rescale_composite", frames=T):
+            out = feathered_composite(
+                jnp.asarray(np.stack(inpainted)),
+                jnp.asarray(frames),
+                dilated,
+                float(feather_px),
+                keep_unmasked_original=keep_unmasked_original,
+            )
+            out_np = np.asarray(out)
     prog(100, "done")
     return [out_np[i] for i in range(T)]

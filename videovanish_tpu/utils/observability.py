@@ -1,0 +1,103 @@
+"""Tracing, profiling and structured logging.
+
+The reference has no observability at all (SURVEY.md §5: unused
+`import time`, bare prints at videovanish.py:927, tools.py:45). Here:
+  - structured per-stage timers (JSON lines on VV_LOG=json, human
+    otherwise; silent unless VV_LOG is set),
+  - jax.profiler integration: VV_PROFILE_DIR=<dir> captures a TPU trace
+    (xprof/Perfetto-compatible) around profiled regions,
+  - TraceAnnotation wrappers so pipeline stages show up named in traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import os
+import sys
+import time
+
+_LOGGER = None
+
+
+def get_logger() -> logging.Logger:
+    global _LOGGER
+    if _LOGGER is None:
+        lg = logging.getLogger("videovanish_tpu")
+        mode = os.environ.get("VV_LOG", "")
+        if mode and not lg.handlers:
+            h = logging.StreamHandler(sys.stderr)
+            h.setFormatter(logging.Formatter(
+                "%(message)s" if mode == "json"
+                else "[vv %(asctime)s] %(message)s"))
+            lg.addHandler(h)
+            lg.setLevel(logging.INFO)
+        _LOGGER = lg
+    return _LOGGER
+
+
+def _emit(event: str, **fields):
+    lg = get_logger()
+    if not lg.handlers:
+        return
+    if os.environ.get("VV_LOG") == "json":
+        lg.info(json.dumps({"event": event, **fields}))
+    else:
+        kv = " ".join(f"{k}={v}" for k, v in fields.items())
+        lg.info(f"{event} {kv}")
+
+
+@contextlib.contextmanager
+def stage_timer(stage: str, **fields):
+    """Time a pipeline stage; emits a structured record and annotates the
+    device trace so the stage is visible in xprof."""
+    t0 = time.perf_counter()
+    with trace_annotation(stage):
+        yield
+    _emit("stage", name=stage, seconds=round(time.perf_counter() - t0, 4),
+          **fields)
+
+
+@contextlib.contextmanager
+def trace_annotation(name: str):
+    try:
+        import jax
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    except Exception:
+        yield
+
+
+_PROFILING = False
+
+
+def start_profile(log_dir: str | None = None) -> bool:
+    """Start a jax profiler trace (TPU timeline). Returns True if started."""
+    global _PROFILING
+    log_dir = log_dir or os.environ.get("VV_PROFILE_DIR")
+    if not log_dir or _PROFILING:
+        return False
+    import jax
+    jax.profiler.start_trace(log_dir)
+    _PROFILING = True
+    _emit("profile_start", dir=log_dir)
+    return True
+
+
+def stop_profile() -> None:
+    global _PROFILING
+    if _PROFILING:
+        import jax
+        jax.profiler.stop_trace()
+        _PROFILING = False
+        _emit("profile_stop")
+
+
+@contextlib.contextmanager
+def maybe_profile(log_dir: str | None = None):
+    started = start_profile(log_dir)
+    try:
+        yield
+    finally:
+        if started:
+            stop_profile()
