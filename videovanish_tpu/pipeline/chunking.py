@@ -26,9 +26,8 @@ from typing import Optional
 import numpy as np
 
 from videovanish_tpu.core.prog import check_cancel, null_prog, scale_prog
-from videovanish_tpu.video.io import (
-    VideoFrameReader, probe_video, write_video_frames_to_path,
-)
+from videovanish_tpu.video.io import probe_video
+from videovanish_tpu.video.staging import PrefetchingFrameSource
 
 
 def _chunk_plan(total: int, chunk: int, overlap: int):
@@ -105,8 +104,12 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
         if old.get("job_id") == job_id:
             manifest = old
 
-    color_rd = VideoFrameReader(color_video, start_frame, max_frames)
-    mask_rd = VideoFrameReader(mask_video, start_frame, max_frames)
+    # decode-ahead threads through the native ring buffer: codec I/O
+    # overlaps device compute (video/staging.py)
+    color_rd = PrefetchingFrameSource(color_video, start_frame, max_frames,
+                                      prefetch_frames=chunk + overlap)
+    mask_rd = PrefetchingFrameSource(mask_video, start_frame, max_frames,
+                                     prefetch_frames=chunk + overlap)
     pos = 0  # current decode position in both readers
     # frame carry: overlap frames read for chunk i reused by chunk i+1
     carry_c: list = []
