@@ -20,3 +20,9 @@ def apply_env_platform() -> None:
             n = os.environ.get("VV_CPU_DEVICES")
             if n:
                 jax.config.update("jax_num_cpu_devices", int(n))
+    if os.environ.get("VV_DEBUG_NANS") == "1":
+        # numerical-sanitizer mode (SURVEY.md §5 race/sanitizer row: jit
+        # purity removes data races; this catches NaN/Inf at the op that
+        # produced them, at a large slowdown)
+        import jax
+        jax.config.update("jax_debug_nans", True)

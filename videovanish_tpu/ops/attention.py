@@ -89,11 +89,21 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_attention(q, k, v, scale, block_q=256, block_k=256):
-    """Pallas flash attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D)."""
+def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
+    """Pallas flash attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D).
+
+    Default block sizes scale inversely with the padded head dim so the
+    per-program VMEM footprint stays under the ~16MB scoped limit: 1024
+    blocks for D<=128 (SD1.5 spatial attention — large blocks amortize
+    grid overhead, measured 2x over 256), shrinking for wide heads
+    (VAE mid-block attention has a single 512-dim head)."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     Dp = _round_up(max(D, 128), 128)
+    if block_q is None:
+        block_q = max(256, min(1024, (128 * 1024) // Dp))
+    if block_k is None:
+        block_k = block_q
     bq = min(block_q, _round_up(Sq, 8))
     bk = min(block_k, _round_up(Sk, 128))
     Sqp = _round_up(Sq, bq)
@@ -144,11 +154,18 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
               backend: str = "auto"):
     """Multi-head attention over (B, H, S, D) tensors.
 
-    backend: "auto" (pallas on TPU, xla elsewhere), "pallas", or "xla".
+    backend: "auto" (pallas on TPU for long sequences, xla otherwise),
+    "pallas", or "xla". Short KV sequences (temporal attention over a
+    22-frame clip, 77-token text cross-attention) stay on the XLA path:
+    their score matrices are tiny and a Pallas grid would be pure
+    per-program overhead; long spatial self-attention (thousands of
+    tokens) runs the flash kernel, where XLA would materialize an
+    OOM-sized score tensor.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if backend == "pallas" or (backend == "auto" and _use_pallas()
-                               and not is_causal):
+    if backend == "pallas" or (
+            backend == "auto" and _use_pallas() and not is_causal
+            and k.shape[2] >= 512):
         return _flash_attention(q, k, v, float(scale))
     return _xla_attention(q, k, v, float(scale), is_causal)

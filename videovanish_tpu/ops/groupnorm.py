@@ -24,17 +24,37 @@ def group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
     x: (..., C); groups split C. scale/bias: (C,).
     Statistics are computed over all non-batch axes within each group in
     f32 (torch nn.GroupNorm semantics for NCHW inputs transposed to NHWC).
+
+    TPU note: the big tensor is only ever touched in its native NHWC
+    layout (spatial reductions keep C on the lanes); the per-group
+    reshape happens on the tiny (B, C) moment vectors. The naive
+    (B, HW, G, C/G) reshape lowers the lane width to C/G and was
+    measured 17x slower than HBM roofline at VAE-decoder shapes.
     """
     orig_dtype = x.dtype
-    *lead, C = x.shape
+    C = x.shape[-1]
+    B = x.shape[0]
     assert C % num_groups == 0, (C, num_groups)
-    xf = x.astype(jnp.float32).reshape(lead[0], -1, num_groups, C // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    out = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    cg = C // num_groups
+    spatial = tuple(range(1, x.ndim - 1))
+
+    xf = x.astype(jnp.float32)
+    s1 = jnp.mean(xf, axis=spatial) if spatial else xf          # (B, C)
+    s2 = jnp.mean(jnp.square(xf), axis=spatial) if spatial \
+        else jnp.square(xf)
+    # group moments on the tiny (B, C) arrays
+    m_g = jnp.mean(s1.reshape(B, num_groups, cg), axis=-1)      # (B, G)
+    e2_g = jnp.mean(s2.reshape(B, num_groups, cg), axis=-1)
+    var_g = jnp.maximum(e2_g - jnp.square(m_g), 0.0)
+    m_c = jnp.repeat(m_g, cg, axis=-1)                          # (B, C)
+    r_c = jax.lax.rsqrt(var_g + eps)
+    r_c = jnp.repeat(r_c, cg, axis=-1)
+
+    shape = (B,) + (1,) * len(spatial) + (C,)
+    a = (r_c * scale.astype(jnp.float32)[None]).reshape(shape)
+    b = (bias.astype(jnp.float32)[None]
+         - m_c * r_c * scale.astype(jnp.float32)[None]).reshape(shape)
+    return (xf * a + b).astype(orig_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps"))
