@@ -91,6 +91,10 @@ class DiffuEraserConfig:
     # temporal clip handling (DiffuEraser-style overlapping windows)
     clip_length: int = 22  # frames per temporal window (matches preview N=22)
     clip_overlap: int = 6
+    # FRDiff-style acceleration (PAPERS.md): compute BrushNet features at
+    # the first PCM step only and reuse them for later steps (~25% less
+    # denoise compute; slight approximation — off by default for parity)
+    brushnet_feature_reuse: bool = False
     # SD1.5 UNet shape
     sample_channels: int = 4
     block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)

@@ -84,11 +84,14 @@ def _leaf_transform(torch_key: str, arr: np.ndarray):
 
 
 def convert_state_dict(state: dict, rules: list[tuple[str, str]],
-                       scope_merge: Callable[[str], str] = None) -> dict:
+                       special: list[tuple[str, str, Callable]] = ()) -> dict:
     """Convert a torch state dict into a nested flax params dict.
 
     rules: ordered (regex, replacement) applied to each dotted key before
     the generic index flattening; a replacement of None drops the key.
+    special: (regex on the REMAPPED key, leaf name or None to keep the
+    last component, transform) — overrides the generic layout inference
+    (e.g. embedding tables are (vocab, width) with no transpose).
     """
     out: dict = {}
     for key, val in state.items():
@@ -105,9 +108,16 @@ def convert_state_dict(state: dict, rules: list[tuple[str, str]],
             continue
         k = flatten_block_indices(k)
         parts = k.split(".")
-        leaf, transform = _leaf_transform(key, arr)
-        parts[-1] = leaf
-        set_in(out, parts, transform(arr))
+        for pat, leaf_name, transform in special:
+            if re.search(pat, k):
+                if leaf_name is not None:
+                    parts[-1] = leaf_name
+                set_in(out, parts, transform(arr))
+                break
+        else:
+            leaf, transform = _leaf_transform(key, arr)
+            parts[-1] = leaf
+            set_in(out, parts, transform(arr))
     return out
 
 

@@ -194,20 +194,27 @@ class DiffuEraser:
             return jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
 
         @jax.jit
-        def denoise_window(params, prior_lat, masked_lat, mask_lat, noise):
-            """One temporal window: PCM few-step denoise. All (T, h8, w8, C)."""
+        def denoise_window(params, prior_lat, masked_lat, mask_lat, noise,
+                           prompt_emb):
+            """One temporal window: PCM few-step denoise. All (T, h8, w8, C);
+            prompt_emb: (77, D) conditioning (the null-prompt embedding by
+            default; a CLIP-encoded prompt for prompt-guided inpainting)."""
             T = prior_lat.shape[0]
             txt = jnp.broadcast_to(
-                params["null_text_emb"].astype(unet.dtype)[None],
-                (T, 77, params["null_text_emb"].shape[-1]))
+                prompt_emb.astype(unet.dtype)[None],
+                (T, 77, prompt_emb.shape[-1]))
             x = schedule.add_noise(prior_lat, noise,
                                    jnp.full((T,), steps[0], jnp.int32))
+            reuse = self.cfg.brushnet_feature_reuse
+            bd = bm = bu = None
             for i, t_i in enumerate(steps):
                 t_vec = jnp.full((T,), int(t_i), jnp.int32)
-                bsample = jnp.concatenate(
-                    [x, masked_lat, mask_lat], axis=-1).astype(unet.dtype)
-                bd, bm, bu = brushnet.apply({"params": params["brushnet"]},
-                                            bsample, t_vec, t_frames)
+                if bd is None or not reuse:
+                    bsample = jnp.concatenate(
+                        [x, masked_lat, mask_lat], axis=-1).astype(unet.dtype)
+                    bd, bm, bu = brushnet.apply(
+                        {"params": params["brushnet"]}, bsample, t_vec,
+                        t_frames)
                 eps = unet.apply({"params": params["unet"]},
                                  x.astype(unet.dtype), t_vec, txt, t_frames,
                                  brushnet_down=bd, brushnet_mid=bm,
@@ -224,13 +231,16 @@ class DiffuEraser:
     # ------------------------------------------------------------------
     def forward(self, frames, masks, prior_frames=None, max_img_size: int = 960,
                 mask_dilation_iter: int = 0, guidance_scale=None,
-                progress=None):
+                progress=None, prompt_embeds=None):
         """Inpaint `frames` where `masks` is nonzero, seeded by `prior_frames`.
 
         frames: list/array of (H0,W0,3) RGB uint8
         masks:  list/array of (H0,W0) or (H0,W0,3) uint8, nonzero = hole
         prior_frames: low-frequency prior (ProPainter output); if None the
             masked regions are seeded from the masked-out input itself.
+        prompt_embeds: optional (77, D) CLIP text embedding for prompt-
+            guided inpainting (models/diffueraser/text_encoder.py); the
+            reference behavior (empty prompt, guidance 0) is the default.
         Returns list of (h,w,3) RGB uint8 at inference resolution (the
         pipeline layer composites/rescales back, as the reference does at
         diffuerase.py:70-112).
@@ -286,8 +296,9 @@ class DiffuEraser:
             return jnp.concatenate(outs, 0)[:n]
 
         prog(5, "VAE-encoding frames")
-        masked_lat = batched(encode, x * (1.0 - m_f))
-        prior_lat = batched(encode, p)
+        # one batched encode for masked+prior frames (single dispatch)
+        both = batched(encode, jnp.concatenate([x * (1.0 - m_f), p], axis=0))
+        masked_lat, prior_lat = both[:T], both[T:]
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),
@@ -297,6 +308,8 @@ class DiffuEraser:
                                 if clip_len > 1 else 0)
         acc = jnp.zeros((T, h8, w8, cfg.sample_channels), jnp.float32)
         wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        prompt_emb = jnp.asarray(prompt_embeds) if prompt_embeds is not None \
+            else self.params["null_text_emb"]
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
                  f"denoising window {wi + 1}/{len(plan)}")
@@ -304,7 +317,8 @@ class DiffuEraser:
                                jax.lax.dynamic_slice_in_dim(prior_lat, s, L),
                                jax.lax.dynamic_slice_in_dim(masked_lat, s, L),
                                jax.lax.dynamic_slice_in_dim(m_lat, s, L),
-                               jax.lax.dynamic_slice_in_dim(noise, s, L))
+                               jax.lax.dynamic_slice_in_dim(noise, s, L),
+                               prompt_emb)
             bw = window_blend_weights(L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
                                       is_first=(wi == 0),
                                       is_last=(wi == len(plan) - 1))
