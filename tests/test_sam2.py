@@ -113,3 +113,28 @@ def test_masker_pipeline_tiny(rng):
     finally:
         infill.set_config(None)
         masker.reset_predictor()
+
+
+def test_reverse_propagation(rng):
+    from videovanish_tpu.models.sam2.predictor import (
+        build_sam2_video_predictor,
+    )
+    pred = build_sam2_video_predictor(config=tiny_config().sam2)
+    T, H, W = 5, 64, 64
+    frames = [(rng.random((H, W, 3)) * 100).astype(np.uint8)
+              for _ in range(T)]
+    state = pred.init_state(video_path=frames)
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=3, obj_id=1,
+        points=np.array([[30.0, 30.0]], np.float32),
+        labels=np.array([1], np.int32))
+    outs = list(pred.propagate_in_video(state, reverse=True))
+    assert [o[0] for o in outs] == [3, 2, 1, 0]
+
+
+def test_nstep_ckpt_sets_inference_steps():
+    from videovanish_tpu.models.diffueraser import DiffuEraser
+    m = DiffuEraser(config=tiny_config().diffueraser, ckpt="4-Step")
+    assert m.cfg.num_inference_steps == 4
+    m2 = DiffuEraser(config=tiny_config().diffueraser, ckpt="2-Step")
+    assert m2.cfg.num_inference_steps == 2

@@ -79,6 +79,14 @@ class DiffuEraser:
         # config's orbax checkpoints here.
         self.cfg = config or default_config().diffueraser
         self.ckpt = "2-Step" if ckpt is None else ckpt
+        # "N-Step" PCM checkpoints imply N inference steps (the reference
+        # hardcodes "2-Step", diffuerase.py:37; we honor the parameter)
+        import dataclasses
+        import re
+        m_steps = re.match(r"^(\d+)-Step$", str(self.ckpt))
+        if m_steps and int(m_steps.group(1)) != self.cfg.num_inference_steps:
+            self.cfg = dataclasses.replace(
+                self.cfg, num_inference_steps=int(m_steps.group(1)))
         self.seed = seed
         self.dtype = compute_dtype if jax.default_backend() == "tpu" \
             else jnp.float32

@@ -38,55 +38,54 @@ _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
-class _ObjectBank:
-    """Host-side fixed-capacity memory bank for one object."""
+class _BankMeta:
+    """Host-side occupancy metadata for the DEVICE-resident memory bank.
 
-    def __init__(self, num_maskmem: int, max_ptrs: int, tokens: int,
-                 mem_dim: int, ptr_dim: int):
+    All objects are processed on the same frames, so slot occupancy is
+    shared across objects; only the contents (device arrays) differ.
+    Cond-frame slots are pinned; recent slots ring-evict oldest-first.
+    The feature/pointer tensors themselves never leave the device
+    (dynamic_update_slice inside the fused per-frame step) — the original
+    host-roundtrip design moved ~7MB/frame over the transport.
+    """
+
+    def __init__(self, num_maskmem: int, max_ptrs: int):
         self.num_maskmem = num_maskmem
         self.max_ptrs = max_ptrs
-        self.cond: list[tuple[int, np.ndarray]] = []    # (frame_idx, feat)
-        self.recent: list[tuple[int, np.ndarray]] = []  # ring of non-cond
-        self.ptrs: list[tuple[int, np.ndarray]] = []
-        self.tokens = tokens
-        self.mem_dim = mem_dim
-        self.ptr_dim = ptr_dim
+        self.slots: list = [None] * num_maskmem  # (frame_idx, is_cond)
+        self.ptr_frames: list = []
+        self.ptr_next = 0
 
-    def add_memory(self, frame_idx: int, feat: np.ndarray, is_cond: bool):
-        if is_cond:
-            self.cond.append((frame_idx, feat))
-            self.cond = self.cond[-self.num_maskmem:]
-        else:
-            self.recent.append((frame_idx, feat))
-            cap = max(1, self.num_maskmem - len(self.cond))
-            self.recent = self.recent[-cap:]
+    def choose_slot(self, frame_idx: int, is_cond: bool) -> int:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                self.slots[i] = (frame_idx, is_cond)
+                return i
+        cand = [(s[0], i) for i, s in enumerate(self.slots) if not s[1]]
+        if not cand:
+            cand = [(s[0], i) for i, s in enumerate(self.slots)]
+        _, i = min(cand)
+        self.slots[i] = (frame_idx, is_cond)
+        return i
 
-    def add_ptr(self, frame_idx: int, ptr: np.ndarray):
-        self.ptrs.append((frame_idx, ptr))
-        self.ptrs = self.ptrs[-self.max_ptrs:]
+    def choose_ptr_slot(self) -> int:
+        i = self.ptr_next % self.max_ptrs
+        self.ptr_next += 1
+        if len(self.ptr_frames) < self.max_ptrs:
+            self.ptr_frames.append(i)
+        return i
 
-    def assemble(self, cur_frame: int):
-        """Fixed-shape (slots*tokens + ptr_tokens, mem_dim) kv + validity +
-        per-token age index (for temporal embedding lookup)."""
-        n, t, d = self.num_maskmem, self.tokens, self.mem_dim
-        feats = np.zeros((n, t, d), np.float32)
-        valid = np.zeros((n,), bool)
-        age = np.zeros((n,), np.int32)
-        slots = list(self.cond) + list(self.recent)
-        for i, (fidx, f) in enumerate(slots[:n]):
-            feats[i] = f
-            valid[i] = True
-            age[i] = min(n - 1, abs(cur_frame - fidx))
+    def valid_age(self, cur_frame: int):
+        n = self.num_maskmem
+        valid = np.array([s is not None for s in self.slots], bool)
+        age = np.array([0 if s is None else min(n - 1, abs(cur_frame - s[0]))
+                        for s in self.slots], np.int32)
+        return valid, age
 
-        splits = self.ptr_dim // d
-        p_tok = self.max_ptrs * splits
-        ptrs = np.zeros((p_tok, d), np.float32)
-        pvalid = np.zeros((self.max_ptrs,), bool)
-        for i, (fidx, p) in enumerate(self.ptrs[-self.max_ptrs:]):
-            ptrs[i * splits:(i + 1) * splits] = p.reshape(splits, d)
-            pvalid[i] = True
-        pvalid_tok = np.repeat(pvalid, splits)
-        return feats, valid, age, ptrs, pvalid_tok
+    def ptr_valid(self):
+        v = np.zeros((self.max_ptrs,), bool)
+        v[:len(self.ptr_frames)] = True
+        return v
 
 
 class Sam2VideoPredictor:
@@ -255,15 +254,45 @@ class Sam2VideoPredictor:
             return masks[..., None], logits_full, out["obj_ptr"], x
 
         @jax.jit
-        def encode_memory(params, cond_f16, mask_logits_s4):
-            return self.memory_encoder.apply(
+        def step(params, f16, f4, f8, bank_feats, mem_valid, mem_age,
+                 bank_ptrs, ptr_valid_tok, points, labels,
+                 write_slot, ptr_slot):
+            """Fused per-frame propagation step: decode + memory-encode +
+            in-place (device-side) bank update. Everything but the output
+            logits stays on device — one dispatch per frame.
+
+            write_slot/ptr_slot: int32 scalars (slot occupancy is shared
+            across objects since all objects see the same frames)."""
+            masks_s4, logits_full, obj_ptr, cond_f16 = decode(
+                params, f16, f4, f8, bank_feats, mem_valid, mem_age,
+                bank_ptrs, ptr_valid_tok, points, labels)
+
+            new_feat = self.memory_encoder.apply(
                 {"params": params["memory_encoder"]},
-                cond_f16, mask_logits_s4.astype(self.dtype)
+                cond_f16, masks_s4.astype(self.dtype)
             ).astype(jnp.float32).reshape(-1, self.tokens16, cfg.mem_dim)
 
-        fns = (encode_image, decode, encode_memory)
+            feats_next = jax.lax.dynamic_update_slice(
+                bank_feats, new_feat[:, None], (0, write_slot, 0, 0))
+            splits = d // cfg.mem_dim
+            ptr_tok = obj_ptr.astype(jnp.float32).reshape(-1, splits,
+                                                          cfg.mem_dim)
+            ptrs_next = jax.lax.dynamic_update_slice(
+                bank_ptrs, ptr_tok, (0, ptr_slot * splits, 0))
+            return logits_full, feats_next, ptrs_next
+
+        fns = (encode_image, decode, step)
         self._jit[key] = fns
         return fns
+
+    def _empty_device_bank(self, O: int):
+        cfg = self.cfg
+        splits = cfg.neck_d_model // cfg.mem_dim
+        feats = jnp.zeros((O, cfg.num_maskmem, self.tokens16, cfg.mem_dim),
+                          jnp.float32)
+        ptrs = jnp.zeros((O, cfg.max_obj_ptrs_in_encoder * splits,
+                          cfg.mem_dim), jnp.float32)
+        return feats, ptrs
 
     # ------------------------------------------------------------------
     # Reference API
@@ -351,35 +380,28 @@ class Sam2VideoPredictor:
                 labels[oi, :n] = np.asarray(e["labels"][:n], np.int32)
         return points, labels
 
-    def _empty_banks(self, O):
-        cfg = self.cfg
-        return [
-            _ObjectBank(cfg.num_maskmem, cfg.max_obj_ptrs_in_encoder,
-                        self.tokens16, cfg.mem_dim, cfg.neck_d_model)
-            for _ in range(O)
-        ]
-
-    def _banks_arrays(self, banks, cur_frame):
-        cfg = self.cfg
-        fs, vs, ags, ps, pvs = [], [], [], [], []
-        for b in banks:
-            f, v, a, p, pv = b.assemble(cur_frame)
-            fs.append(f); vs.append(v); ags.append(a); ps.append(p)
-            pvs.append(pv)
-        return (jnp.asarray(np.stack(fs)), jnp.asarray(np.stack(vs)),
-                jnp.asarray(np.stack(ags)), jnp.asarray(np.stack(ps)),
-                jnp.asarray(np.stack(pvs)))
+    def _meta_arrays(self, meta: "_BankMeta", cur_frame: int, O: int):
+        """Broadcast shared occupancy metadata to per-object arrays."""
+        splits = self.cfg.neck_d_model // self.cfg.mem_dim
+        valid, age = meta.valid_age(cur_frame)
+        pvalid_tok = np.repeat(meta.ptr_valid(), splits)
+        return (jnp.asarray(np.broadcast_to(valid, (O,) + valid.shape)),
+                jnp.asarray(np.broadcast_to(age, (O,) + age.shape)),
+                jnp.asarray(np.broadcast_to(pvalid_tok,
+                                            (O,) + pvalid_tok.shape)))
 
     def _predict_prompt_frame(self, state, frame_idx):
         """Memoryless single-frame decode for interactive feedback."""
         O = len(state["obj_ids"])
         f4, f8, f16 = self._encode_frame(state, frame_idx)
         _, decode, _ = self._fns(state["H0"], state["W0"])
-        banks = self._empty_banks(O)
-        mem = self._banks_arrays(banks, frame_idx)
+        feats, ptrs = self._empty_device_bank(O)
+        meta = _BankMeta(self.cfg.num_maskmem,
+                         self.cfg.max_obj_ptrs_in_encoder)
+        valid, age, pvalid = self._meta_arrays(meta, frame_idx, O)
         points, labels = self._prompt_arrays(state, frame_idx)
         _, logits_full, _, _ = decode(
-            self.params, f16, f4, f8, *mem,
+            self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
             jnp.asarray(points), jnp.asarray(labels))
         return np.asarray(logits_full)
 
@@ -397,31 +419,36 @@ class Sam2VideoPredictor:
         prompt_frames = sorted(state["prompts"].keys())
         first = start_frame_idx if start_frame_idx is not None \
             else (prompt_frames[0] if prompt_frames else 0)
-        last = T if max_frame_num_to_track is None \
-            else min(T, first + max_frame_num_to_track)
+        if reverse:
+            stop = -1 if max_frame_num_to_track is None \
+                else max(-1, first - max_frame_num_to_track)
+            frame_order = range(first, stop, -1)
+        else:
+            last = T if max_frame_num_to_track is None \
+                else min(T, first + max_frame_num_to_track)
+            frame_order = range(first, last)
 
-        _, decode, encode_memory = self._fns(state["H0"], state["W0"])
-        banks = self._empty_banks(O)
+        _, _, step = self._fns(state["H0"], state["W0"])
+        feats, ptrs = self._empty_device_bank(O)
+        meta = _BankMeta(self.cfg.num_maskmem,
+                         self.cfg.max_obj_ptrs_in_encoder)
 
-        for t in range(first, last):
+        for t in frame_order:
             f4, f8, f16 = self._encode_frame(state, t)
             is_cond = t in state["prompts"]
-            mem = self._banks_arrays(banks, t)
+            # memory validity/ages from occupancy BEFORE this frame writes
+            valid, age, pvalid = self._meta_arrays(meta, t, O)
             if is_cond:
                 points, labels = self._prompt_arrays(state, t)
             else:
                 points = np.zeros((O, MAX_POINTS, 2), np.float32)
                 labels = np.full((O, MAX_POINTS), -1, np.int32)
-            masks_s4, logits_full, obj_ptr, cond_f16 = decode(
-                self.params, f16, f4, f8, *mem,
-                jnp.asarray(points), jnp.asarray(labels))
-
-            mem_feat = encode_memory(self.params, cond_f16, masks_s4)
-            mem_feat = np.asarray(mem_feat)
-            ptr = np.asarray(obj_ptr)
-            for oi in range(O):
-                banks[oi].add_memory(t, mem_feat[oi], is_cond)
-                banks[oi].add_ptr(t, ptr[oi])
+            write_slot = meta.choose_slot(t, is_cond)
+            ptr_slot = meta.choose_ptr_slot()
+            logits_full, feats, ptrs = step(
+                self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
+                jnp.asarray(points), jnp.asarray(labels),
+                jnp.int32(write_slot), jnp.int32(ptr_slot))
 
             logits = np.asarray(logits_full)  # (O, H0, W0)
             yield t, obj_ids, [logits[i] for i in range(O)]
