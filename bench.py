@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def run_bench(height=720, width=1280, frames=24, max_img_size=960):
+def run_bench(height=720, width=1280, frames=38, max_img_size=960):
     import jax
     from videovanish_tpu.config import default_config
     from videovanish_tpu.models.diffueraser import DiffuEraser
@@ -42,9 +42,12 @@ def run_bench(height=720, width=1280, frames=24, max_img_size=960):
 
 
 def main():
+    # frames=38 gives two 22-frame windows with the production overlap of
+    # 6 at exactly-tiling stride (window redundancy 1.16x — the long-video
+    # amortized regime, vs 1.83x at 24 frames)
     configs = [
-        (720, 1280, 24, 960),   # 720p, reference-default inference res
-        (480, 854, 24, 960),    # 480p fallback
+        (720, 1280, 38, 960),   # 720p, reference-default inference res
+        (480, 854, 38, 960),    # 480p fallback
         (256, 256, 16, 256),    # smoke fallback
     ]
     last_err = None

@@ -72,3 +72,29 @@ class TestDryrunMultichip:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
         g.dryrun_multichip(8)  # raises on any sharding/compile failure
+
+
+class TestMeshInference:
+    def test_diffueraser_spmd_matches_single_device(self, rng):
+        """Frames sharded over the data axis: SPMD inference must agree
+        with single-device inference (sequence parallelism over the clip,
+        collectives inserted by pjit)."""
+        from videovanish_tpu.config import tiny_config
+        from videovanish_tpu.models.diffueraser import DiffuEraser
+        cfg = tiny_config().diffueraser
+        T, H, W = 8, 64, 64
+        frames = [(rng.random((H, W, 3)) * 255).astype(np.uint8)
+                  for _ in range(T)]
+        masks = [np.zeros((H, W), np.uint8) for _ in range(T)]
+        for m in masks:
+            m[24:40, 24:40] = 255
+
+        single = DiffuEraser(config=cfg, seed=0)
+        ref = np.stack(single.forward(frames, masks, max_img_size=64))
+
+        mesh = make_mesh(jax.devices()[:8], model_parallel=1)
+        sharded = DiffuEraser(config=cfg, seed=0, mesh=mesh)
+        out = np.stack(sharded.forward(frames, masks, max_img_size=64))
+        # f32 reduction order may differ across shards -> off-by-one of
+        # uint8 rounding at most
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1

@@ -73,7 +73,8 @@ class DiffuEraser:
                  diffueraser_repo: str = None, ckpt: str = "2-Step",
                  config: Optional[DiffuEraserConfig] = None,
                  params=None, seed: int = 0,
-                 compute_dtype=jnp.bfloat16, init_mode: str = "auto"):
+                 compute_dtype=jnp.bfloat16, init_mode: str = "auto",
+                 mesh=None):
         # device/sd_repo/vae_repo/diffueraser_repo accepted for reference
         # ctor compatibility (diffuerase.py:39-45); weights come from the
         # config's orbax checkpoints here.
@@ -115,6 +116,14 @@ class DiffuEraser:
         if self.dtype == jnp.bfloat16:
             from videovanish_tpu.core.precision import cast_params_for_inference
             self.params = cast_params_for_inference(self.params, self.dtype)
+        # optional multi-chip SPMD inference: frames shard over the "data"
+        # mesh axis; pjit emits the temporal-attention collectives
+        # (sequence parallelism over the clip) and replicates params
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
@@ -188,20 +197,17 @@ class DiffuEraser:
         steps = pcm_timesteps(self.cfg.num_inference_steps,
                               schedule.num_train_timesteps)
 
-        @jax.jit
         def encode(params, rgb01):
             """rgb01: (N, H, W, 3) f32 in [0,1] -> scaled latents."""
             x = (rgb01 * 2.0 - 1.0).astype(unet.dtype)
             return vae.apply({"params": params["vae"]}, x,
                              method=vae.encode) * scale
 
-        @jax.jit
         def decode(params, z):
             x = vae.apply({"params": params["vae"]},
                           (z / scale).astype(unet.dtype), method=vae.decode)
             return jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
 
-        @jax.jit
         def denoise_window(params, prior_lat, masked_lat, mask_lat, noise,
                            prompt_emb):
             """One temporal window: PCM few-step denoise. All (T, h8, w8, C);
@@ -231,6 +237,13 @@ class DiffuEraser:
                 x = consistency_step(schedule, x, eps.astype(jnp.float32),
                                      jnp.int32(t_i), jnp.int32(t_next))
             return x.astype(jnp.float32)
+
+        # plain jit everywhere: under a mesh, shardings ride in on the
+        # arguments (forward() device_puts window inputs frame-sharded)
+        # and XLA propagates them through the whole program
+        encode = jax.jit(encode)
+        denoise_window = jax.jit(denoise_window)
+        decode = jax.jit(decode)
 
         fns = (encode, denoise_window, decode)
         self._jit_cache[t_frames] = fns
@@ -318,15 +331,32 @@ class DiffuEraser:
         wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
         prompt_emb = jnp.asarray(prompt_embeds) if prompt_embeds is not None \
             else self.params["null_text_emb"]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from videovanish_tpu.core.mesh import DATA_AXIS
+            _bs = NamedSharding(self.mesh, P(DATA_AXIS))
+            _ndev = self.mesh.shape[DATA_AXIS]
+
+            def put(a):
+                # frame axis must tile evenly over "data"; pick clip_length
+                # as a multiple of the data-axis size for full SPMD —
+                # otherwise this window runs unsharded
+                if a.shape[0] % _ndev == 0:
+                    return jax.device_put(a, _bs)
+                return a
+        else:
+            def put(a):
+                return a
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
                  f"denoising window {wi + 1}/{len(plan)}")
-            z = denoise_window(self.params,
-                               jax.lax.dynamic_slice_in_dim(prior_lat, s, L),
-                               jax.lax.dynamic_slice_in_dim(masked_lat, s, L),
-                               jax.lax.dynamic_slice_in_dim(m_lat, s, L),
-                               jax.lax.dynamic_slice_in_dim(noise, s, L),
-                               prompt_emb)
+            z = denoise_window(
+                self.params,
+                put(jax.lax.dynamic_slice_in_dim(prior_lat, s, L)),
+                put(jax.lax.dynamic_slice_in_dim(masked_lat, s, L)),
+                put(jax.lax.dynamic_slice_in_dim(m_lat, s, L)),
+                put(jax.lax.dynamic_slice_in_dim(noise, s, L)),
+                prompt_emb)
             bw = window_blend_weights(L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
                                       is_first=(wi == 0),
                                       is_last=(wi == len(plan) - 1))
