@@ -69,8 +69,11 @@ class ProPainterConfig:
     neighbor_length: int = 10
     subvideo_length: int = 50
     raft_iters: int = 12
-    # internal processing resolution cap (long side), multiple of 8
-    max_img_size: int = 960
+    # internal processing resolution cap (long side), multiple of 8.
+    # Flow/propagation run at reduced resolution (as upstream ProPainter
+    # does): the all-pairs RAFT correlation is quadratic in tokens —
+    # 432 long side keeps a 50-frame subvideo's volumes in HBM.
+    max_img_size: int = 432
     flow_hidden: int = 128
     channels: int = 128
 

@@ -100,3 +100,19 @@ def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
         return step(state, batch, rng)
 
     return init_fn, jitted_step
+
+
+def save_train_state(path: str, state: TrainState) -> None:
+    """Persist a training run (params + optimizer moments + step) with
+    orbax — the training-side checkpoint/resume story (SURVEY.md §5:
+    the reference persists nothing)."""
+    from videovanish_tpu.core.checkpoint import save_pytree
+    save_pytree(path, {"step": state.step, "params": state.params,
+                       "opt_state": state.opt_state})
+
+
+def restore_train_state(path: str, like: TrainState) -> TrainState:
+    from videovanish_tpu.core.checkpoint import load_pytree
+    tree = load_pytree(path, like={"step": like.step, "params": like.params,
+                                   "opt_state": like.opt_state})
+    return TrainState(tree["step"], tree["params"], tree["opt_state"])
