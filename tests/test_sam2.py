@@ -138,3 +138,34 @@ def test_nstep_ckpt_sets_inference_steps():
     assert m.cfg.num_inference_steps == 4
     m2 = DiffuEraser(config=tiny_config().diffueraser, ckpt="2-Step")
     assert m2.cfg.num_inference_steps == 2
+
+
+def test_clear_old_points_replaces_clicks(rng):
+    from videovanish_tpu.models.sam2.predictor import (
+        build_sam2_video_predictor,
+    )
+    pred = build_sam2_video_predictor(config=tiny_config().sam2)
+    frames = [(rng.random((48, 64, 3)) * 100).astype(np.uint8)
+              for _ in range(2)]
+    state = pred.init_state(video_path=frames)
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=0, obj_id=1,
+        points=np.array([[10.0, 10.0]], np.float32),
+        labels=np.array([1], np.int32))
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=0, obj_id=1,
+        points=np.array([[30.0, 30.0]], np.float32),
+        labels=np.array([1], np.int32))
+    e = state["prompts"][0][1]
+    # one click kept (replaced), stored in model coords (scaled by S/W0)
+    scale_x = tiny_config().sam2.image_size / 64
+    assert len(e["pts"]) == 1 and e["pts"][0][0] == 30.0 * scale_x
+    # a box coexists with clicks; a second box replaces the first
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=0, obj_id=1,
+        box=np.array([1.0, 1.0, 20.0, 20.0], np.float32))
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=0, obj_id=1,
+        box=np.array([2.0, 2.0, 22.0, 22.0], np.float32))
+    e = state["prompts"][0][1]
+    assert sorted(e["labels"]) == [1, 2, 3]

@@ -124,15 +124,11 @@ def convert_state_dict(state: dict, rules: list[tuple[str, str]],
 # ---------------------------------------------------------------------------
 # model-specific rule sets (public diffusers / SAM2 key families)
 # ---------------------------------------------------------------------------
-# diffusers AutoencoderKL -> models/diffueraser/vae.py naming
-VAE_RULES: list[tuple[str, str]] = [
-    (r"\.norm1\.weight$", ".norm1.scale_"),       # placeholder, see below
-]
-
+# diffusers AutoencoderKL -> models/diffueraser/vae.py naming.
 # GroupNorm leaves: our GroupNorm uses scale/bias; torch uses weight/bias.
 # The generic _leaf_transform already maps 1-D weight -> scale, so the only
 # real VAE irregulars are the attention projections inside the mid block.
-VAE_RULES = [
+VAE_RULES: list[tuple[str, str]] = [
     (r"mid_block\.attentions\.0\.to_out\.0", "mid_block.attentions.0.attn.to_out_0"),
     (r"mid_block\.attentions\.0\.to_(q|k|v)", r"mid_block.attentions.0.attn.to_\1"),
     (r"mid_block\.attentions\.0\.group_norm", "mid_block.attentions.0.group_norm"),

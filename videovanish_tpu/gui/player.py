@@ -20,7 +20,7 @@ import numpy as np
 from PySide6.QtCore import Qt, QTimer, QUrl, Signal
 from PySide6.QtMultimedia import QAudioOutput, QMediaMetaData, QMediaPlayer
 from PySide6.QtWidgets import (
-    QHBoxLayout, QLabel, QPushButton, QScrollArea, QSlider, QStyle,
+    QHBoxLayout, QLabel, QPushButton, QSlider, QStyle,
     QToolButton, QVBoxLayout, QWidget,
 )
 

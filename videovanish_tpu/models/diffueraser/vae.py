@@ -7,7 +7,6 @@ the temporal axis, so a whole clip VAE-encodes in one MXU-dense call.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -150,12 +150,6 @@ class Hiera(nn.Module):
         pe_win = jnp.tile(win, (1, tiles_h, tiles_w, 1))[:, :H, :W]
         x = x + (pe + pe_win).astype(x.dtype)
 
-        stage_ends = []
-        acc = -1
-        for d in self.stages:
-            acc += d
-            stage_ends.append(acc)
-
         outputs = []
         dim = self.embed_dim
         heads = self.num_heads

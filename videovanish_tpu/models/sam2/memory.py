@@ -17,7 +17,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from videovanish_tpu.ops.attention import _xla_attention
 from videovanish_tpu.ops.attention import attention as flash_attention
 
 

@@ -2,7 +2,7 @@
 ([external] per SURVEY.md §2c: Hiera multiscale -> 256-d pyramid)."""
 from __future__ import annotations
 
-import math
+
 from typing import Sequence
 
 import flax.linen as nn

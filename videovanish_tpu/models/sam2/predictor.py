@@ -338,8 +338,19 @@ class Sam2VideoPredictor:
 
         fp = state["prompts"].setdefault(int(frame_idx), {})
         entry = fp.setdefault(int(obj_id), {"pts": [], "labels": []})
-        if clear_old_points and box is None and points is not None:
-            pass  # reference batches all clicks per call already
+        if clear_old_points and points is not None:
+            # replace previous clicks (labels 0/1) for this (frame, obj);
+            # box corners (labels 2/3) persist unless a new box is given
+            kept = [(p, l) for p, l in zip(entry["pts"], entry["labels"])
+                    if l in (2, 3)]
+            entry["pts"] = [p for p, _ in kept]
+            entry["labels"] = [l for _, l in kept]
+        if box is not None:
+            # a new box replaces any previous box corners
+            kept = [(p, l) for p, l in zip(entry["pts"], entry["labels"])
+                    if l in (0, 1)]
+            entry["pts"] = [p for p, _ in kept]
+            entry["labels"] = [l for _, l in kept]
         entry["pts"].extend(pts)
         entry["labels"].extend(labs)
         if int(obj_id) not in state["obj_ids"]:

@@ -15,7 +15,7 @@ Model singletons are lazy globals like the reference (diffuerase.py:15-18).
 """
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax.numpy as jnp
 import numpy as np

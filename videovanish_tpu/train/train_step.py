@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from videovanish_tpu.core.mesh import DATA_AXIS
+
 from videovanish_tpu.models.diffueraser.scheduler import NoiseSchedule
 from videovanish_tpu.parallel.sharding import (
     batch_sharding, param_sharding_rules,
