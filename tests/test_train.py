@@ -76,3 +76,18 @@ class TestTrainStep:
         # resumed state steps further without error
         s2, loss = step_fn(restored, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(loss))
+
+
+def test_remat_matches_non_remat(setup):
+    """jax.checkpoint changes memory, not math: one step with remat must
+    produce the same loss as without."""
+    unet, brushnet, mesh, params, batch = setup
+    import jax
+    from videovanish_tpu.train.train_step import make_train_step
+    init_a, step_a = make_train_step(unet, brushnet, mesh, remat=False)
+    init_b, step_b = make_train_step(unet, brushnet, mesh, remat=True)
+    sa = init_a(params)
+    sb = init_b(params)
+    _, la = step_a(sa, batch, jax.random.PRNGKey(3))
+    _, lb = step_b(sb, batch, jax.random.PRNGKey(3))
+    assert abs(float(la) - float(lb)) < 1e-5, (float(la), float(lb))

@@ -33,7 +33,7 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
-                    weight_decay: float = 1e-2):
+                    weight_decay: float = 1e-2, remat: bool = False):
     """Returns (init_fn, step_fn) jitted over `mesh`.
 
     Batch dict (leading axis = clips, sharded over "data"):
@@ -41,6 +41,9 @@ def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
       masked_lat: (B, T, h, w, 4)
       mask_lat:   (B, T, h, w, 1)
       text_emb:   (B, 77, D)
+    remat=True rematerializes the BrushNet/UNet forwards in the backward
+    pass (jax.checkpoint): ~30% more FLOPs for a large activation-memory
+    cut — the standard TPU trade for bigger per-chip batches.
     """
     schedule = NoiseSchedule()
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
@@ -55,18 +58,27 @@ def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
         def flat(x):
             return x.reshape((-1,) + x.shape[2:])
 
+        def brush_fwd(bp, bsample, t_full):
+            return brushnet.apply({"params": bp},
+                                  bsample.astype(brushnet.dtype), t_full, T)
+
+        def unet_fwd(up, x_t, t_full, txt, bd, bm, bu):
+            return unet.apply({"params": up}, x_t.astype(unet.dtype), t_full,
+                              txt.astype(unet.dtype), T,
+                              brushnet_down=bd, brushnet_mid=bm,
+                              brushnet_up=bu)
+
+        if remat:
+            brush_fwd = jax.checkpoint(brush_fwd)
+            unet_fwd = jax.checkpoint(unet_fwd)
+
         x0 = flat(batch["latents"])
         x_t = schedule.add_noise(x0, flat(noise), t_full)
         bsample = jnp.concatenate(
             [x_t, flat(batch["masked_lat"]), flat(batch["mask_lat"])], axis=-1)
-        bd, bm, bu = brushnet.apply(
-            {"params": params["brushnet"]},
-            bsample.astype(brushnet.dtype), t_full, T)
+        bd, bm, bu = brush_fwd(params["brushnet"], bsample, t_full)
         txt = jnp.repeat(batch["text_emb"], T, axis=0)
-        eps = unet.apply({"params": params["unet"]},
-                         x_t.astype(unet.dtype), t_full,
-                         txt.astype(unet.dtype), T,
-                         brushnet_down=bd, brushnet_mid=bm, brushnet_up=bu)
+        eps = unet_fwd(params["unet"], x_t, t_full, txt, bd, bm, bu)
         err = eps.astype(jnp.float32) - flat(noise)
         return jnp.mean(jnp.square(err))
 
