@@ -169,3 +169,45 @@ def test_clear_old_points_replaces_clicks(rng):
         box=np.array([2.0, 2.0, 22.0, 22.0], np.float32))
     e = state["prompts"][0][1]
     assert sorted(e["labels"]) == [1, 2, 3]
+
+
+class TestRope:
+    def test_rope_preserves_norm_and_relativity(self, rng):
+        import jax.numpy as jnp
+        from videovanish_tpu.ops.rope import apply_rope, axial_rope_tables
+        side, D = 4, 8
+        sin, cos = axial_rope_tables(side, side, D)
+        x = rng.standard_normal((1, 2, side * side, D)).astype(np.float32)
+        r = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(sin),
+                                  jnp.asarray(cos)))
+        # rotation preserves the norm of every token vector
+        np.testing.assert_allclose(np.linalg.norm(r, axis=-1),
+                                   np.linalg.norm(x, axis=-1), rtol=1e-5)
+        # relative property: <rope(q), rope(k)> depends only on coordinate
+        # delta — same-delta pairs along x give identical dot products
+        q = rng.standard_normal((D,)).astype(np.float32)
+        k = rng.standard_normal((D,)).astype(np.float32)
+        def rot(v, pos):
+            return np.asarray(apply_rope(
+                jnp.asarray(v[None]), jnp.asarray(sin[pos:pos+1]),
+                jnp.asarray(cos[pos:pos+1])))[0]
+        # positions 0,1 and 1,2 (same row, delta 1 in x)
+        d01 = rot(q, 0) @ rot(k, 1)
+        d12 = rot(q, 1) @ rot(k, 2)
+        np.testing.assert_allclose(d01, d12, rtol=1e-4)
+
+    def test_predictor_with_rope_runs(self, rng):
+        from videovanish_tpu.models.sam2.predictor import (
+            build_sam2_video_predictor,
+        )
+        pred = build_sam2_video_predictor(config=tiny_config().sam2)
+        frames = [(rng.random((48, 64, 3)) * 120).astype(np.uint8)
+                  for _ in range(3)]
+        st = pred.init_state(video_path=frames)
+        pred.add_new_points_or_box(
+            inference_state=st, frame_idx=0, obj_id=1,
+            points=np.array([[30.0, 20.0]], np.float32),
+            labels=np.array([1], np.int32))
+        outs = list(pred.propagate_in_video(st))
+        assert len(outs) == 3
+        assert all(np.isfinite(m[0]).all() for _, _, m in outs)

@@ -41,12 +41,18 @@ class MemoryAttentionLayer(nn.Module):
     num_heads: int = 1
     kv_dim: int = 64
     mlp_dim: int = 2048
+    use_rope: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_pos, mem_kv, mem_pos, mem_valid):
+    def __call__(self, x, x_pos, mem_kv, mem_pos, mem_valid,
+                 rope_self=None, rope_cross=None, rope_mem=None):
         """x: (B, S, d_model); mem_kv: (B, M, kv_dim); mem_pos: (B, M, kv_dim);
-        mem_valid: (B, M) bool."""
+        mem_valid: (B, M) bool. rope_*: optional (sin, cos) tables —
+        axial RoPE over the spatial grid (official SAM2.1 attention
+        geometry); memory pointer tokens carry no RoPE (rope_mem covers
+        only the spatial slots, zero angles elsewhere)."""
+        from videovanish_tpu.ops.rope import apply_rope
         B, S, C = x.shape
         hd = C // self.num_heads
 
@@ -59,7 +65,11 @@ class MemoryAttentionLayer(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="self_q")(qk)
         k = nn.Dense(C, dtype=self.dtype, name="self_k")(qk)
         v = nn.Dense(C, dtype=self.dtype, name="self_v")(h)
-        sa = flash_attention(heads(q, hd), heads(k, hd), heads(v, hd))
+        q, k = heads(q, hd), heads(k, hd)
+        if rope_self is not None:
+            q = apply_rope(q, *rope_self)
+            k = apply_rope(k, *rope_self)
+        sa = flash_attention(q, k, heads(v, hd))
         sa = sa.transpose(0, 2, 1, 3).reshape(B, S, C)
         x = x + nn.Dense(C, dtype=self.dtype, name="self_out")(sa)
 
@@ -71,8 +81,12 @@ class MemoryAttentionLayer(nn.Module):
         k = nn.Dense(self.kv_dim, dtype=self.dtype, name="cross_k")(
             mem_kv + mem_pos.astype(mem_kv.dtype))
         v = nn.Dense(self.kv_dim, dtype=self.dtype, name="cross_v")(mem_kv)
-        ca = masked_attention(heads(q, khd), heads(k, khd), heads(v, khd),
-                              mem_valid)
+        q, k = heads(q, khd), heads(k, khd)
+        if rope_cross is not None:
+            q = apply_rope(q, *rope_cross)
+        if rope_mem is not None:
+            k = apply_rope(k, *rope_mem)
+        ca = masked_attention(q, k, heads(v, khd), mem_valid)
         ca = ca.transpose(0, 2, 1, 3).reshape(B, S, self.kv_dim)
         x = x + nn.Dense(C, dtype=self.dtype, name="cross_out")(ca)
 
@@ -88,15 +102,43 @@ class MemoryAttention(nn.Module):
     num_layers: int = 4
     d_model: int = 256
     kv_dim: int = 64
+    use_rope: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_pos, mem_kv, mem_pos, mem_valid):
+        rope_self = rope_cross = rope_mem = None
+        if self.use_rope:
+            import numpy as np
+
+            from videovanish_tpu.ops.rope import axial_rope_tables
+            B, S, C = x.shape
+            side = int(round(S ** 0.5))
+            M = mem_kv.shape[1]
+            if side * side == S and (C % 4 == 0) and (self.kv_dim % 4 == 0):
+                sin_s, cos_s = axial_rope_tables(side, side, C)
+                rope_self = (jnp.asarray(sin_s), jnp.asarray(cos_s))
+                sin_c, cos_c = axial_rope_tables(side, side, self.kv_dim)
+                rope_cross = (jnp.asarray(sin_c), jnp.asarray(cos_c))
+                # memory kv: n_slots repeats of the spatial grid, then
+                # pointer tokens with zero angles (no rotation)
+                n_rep = M // S  # full spatial slots
+                rem = M - n_rep * S
+                sin_m = np.concatenate(
+                    [np.tile(sin_c, (n_rep, 1)),
+                     np.zeros((rem, self.kv_dim // 2), np.float32)], 0)
+                cos_m = np.concatenate(
+                    [np.tile(cos_c, (n_rep, 1)),
+                     np.ones((rem, self.kv_dim // 2), np.float32)], 0)
+                rope_mem = (jnp.asarray(sin_m), jnp.asarray(cos_m))
         for i in range(self.num_layers):
             x = MemoryAttentionLayer(self.d_model, 1, self.kv_dim,
+                                     use_rope=self.use_rope,
                                      dtype=self.dtype,
                                      name=f"layers_{i}")(
-                x, x_pos, mem_kv, mem_pos, mem_valid)
+                x, x_pos, mem_kv, mem_pos, mem_valid,
+                rope_self=rope_self, rope_cross=rope_cross,
+                rope_mem=rope_mem)
         return nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(x.dtype)
 
 
