@@ -42,6 +42,36 @@ class TestRingAttention:
         np.testing.assert_allclose(out, dense_attention(q, q, q), atol=2e-5)
 
 
+class TestRingAttentionInUNet:
+    def test_unet_ring_matches_dense(self, rng):
+        """UNet with sequence-parallel temporal attention (ring over the
+        data axis, heads over model) must match the unsharded UNet."""
+        from videovanish_tpu.config import tiny_config
+        from videovanish_tpu.models.diffueraser.unet import UNetCondition
+        from jax.sharding import NamedSharding
+
+        cfg = tiny_config().diffueraser
+        mesh = make_mesh(jax.devices()[:8], model_parallel=2)  # data=4
+        T, h8, w8 = 8, 8, 8
+        unet = UNetCondition(block_out_channels=cfg.block_out_channels,
+                             layers_per_block=cfg.layers_per_block,
+                             num_attention_heads=cfg.attention_head_dim,
+                             cross_attention_dim=cfg.cross_attention_dim)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (T, h8, w8, 4))
+        txt = jax.random.normal(key, (T, 77, cfg.cross_attention_dim))
+        t = jnp.zeros((T,), jnp.int32)
+        params = unet.init(key, x, t, txt, T)["params"]
+        ref = unet.apply({"params": params}, x, t, txt, T)
+
+        ring = unet.clone(ring_mesh=mesh)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        out = jax.jit(
+            lambda p, x: ring.apply({"params": p}, x, t, txt, T))(params, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4)
+
+
 class TestShardingRules:
     def test_attention_params_split_over_model(self):
         from videovanish_tpu.parallel.sharding import param_sharding_rules

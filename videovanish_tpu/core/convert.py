@@ -145,7 +145,8 @@ UNET_RULES: list[tuple[str, str]] = [
     (r"^mid_block\.", "mid_block."),
 ]
 
-# SAM2 torch checkpoint -> models/sam2 naming (refined when porting runs)
+# SAM2 torch checkpoint (facebookresearch format, the reference's
+# sam2.1_hiera_large.pt) -> models/sam2 naming
 SAM2_RULES: list[tuple[str, str]] = [
     (r"^image_encoder\.trunk\.", "hiera."),
     (r"^image_encoder\.neck\.", "neck."),
@@ -156,6 +157,29 @@ SAM2_RULES: list[tuple[str, str]] = [
     (r"\.attn\.qkv\.", ".attn.qkv."),
     (r"\.mlp\.layers\.0\.", ".mlp_fc1."),
     (r"\.mlp\.layers\.1\.", ".mlp_fc2."),
+]
+
+# Hiera absolute position embeddings are stored NCHW in both the fb and
+# HF checkpoints; our params are NHWC.
+SAM2_SPECIALS: list = [
+    (r"(^|\.)pos_embed(_window)?$", None,
+     lambda a: np.transpose(a, (0, 2, 3, 1))),
+]
+
+# HF transformers Sam2 (Sam2HieraDetModel / Sam2VideoModel) naming ->
+# models/sam2. Used by the parity harness: transformers ships the
+# official SAM2 architecture, so a randomly-initialized HF model is a
+# bit-exact oracle for our modules without downloading weights.
+HF_SAM2_RULES: list[tuple[str, str]] = [
+    (r"^vision_encoder\.backbone\.", "hiera."),
+    (r"^vision_encoder\.neck\.", "neck."),
+    (r"patch_embed\.projection\.", "patch_embed.proj."),
+    (r"\.layer_norm1\.", ".norm1."),
+    (r"\.layer_norm2\.", ".norm2."),
+    (r"\.layer_norm3\.", ".norm3."),
+    (r"\.layer_norm4\.", ".norm4."),
+    (r"\.mlp\.proj_in\.", ".mlp_fc1."),
+    (r"\.mlp\.proj_out\.", ".mlp_fc2."),
 ]
 
 

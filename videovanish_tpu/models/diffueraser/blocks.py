@@ -100,12 +100,16 @@ class Attention(nn.Module):
     """Multi-head attention (self or cross) over token-major input.
 
     x: (B, S, C); context: (B, Sk, Ck) or None for self-attention.
+    attn_fn optionally replaces the attention op itself ((B,H,S,D) q/k/v
+    -> (B,H,S,D)); used to swap in sequence-parallel ring attention
+    (parallel/ring_attention.py) without touching the param tree.
     """
     num_heads: int
     head_dim: int
     out_dim: Optional[int] = None
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Optional[callable] = None
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -119,7 +123,8 @@ class Attention(nn.Module):
         def split(t):
             return t.reshape(B, -1, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-        out = flash_attention(split(q), split(k), split(v))
+        impl = self.attn_fn if self.attn_fn is not None else flash_attention
+        out = impl(split(q), split(k), split(v))
         out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         return nn.Dense(self.out_dim or C, dtype=self.dtype, name="to_out_0")(out)
 

@@ -45,6 +45,7 @@ class BrushNetModel(nn.Module):
     layers_per_block: int = 2
     num_attention_heads: int = 8
     use_temporal: bool = True
+    ring_mesh: object = None  # mesh for sequence-parallel temporal attention
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -79,7 +80,7 @@ class BrushNetModel(nn.Module):
                                       name=f"{pre}_attentions_{j}")(h, None)
                     if temporal:
                         h = TemporalAttentionBlock(
-                            heads, dtype=self.dtype,
+                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
                             name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 down_feats.append(ZeroConv(c, dtype=self.dtype,
                                            name=f"zero_down_{zi}")(h))
@@ -98,7 +99,8 @@ class BrushNetModel(nn.Module):
         h = Transformer2D(heads, ch[-1] // heads, dtype=self.dtype,
                           name="mid_block_attentions_0")(h, None)
         if temporal:
-            h = TemporalAttentionBlock(heads, dtype=self.dtype,
+            h = TemporalAttentionBlock(heads, ring_mesh=self.ring_mesh,
+                                       dtype=self.dtype,
                                        name="mid_block_motion_modules_0")(
                 h, t_frames)
         h = ResnetBlock2D(ch[-1], dtype=self.dtype,
@@ -121,7 +123,7 @@ class BrushNetModel(nn.Module):
                                       name=f"{pre}_attentions_{j}")(h, None)
                     if temporal:
                         h = TemporalAttentionBlock(
-                            heads, dtype=self.dtype,
+                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
                             name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 up_feats.append(ZeroConv(c, dtype=self.dtype,
                                          name=f"zero_up_{zi}")(h))

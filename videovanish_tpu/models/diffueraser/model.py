@@ -34,7 +34,40 @@ from videovanish_tpu.models.diffueraser.scheduler import (
 from videovanish_tpu.models.diffueraser.unet import UNetCondition
 from videovanish_tpu.models.diffueraser.vae import AutoencoderKL
 from videovanish_tpu.ops.morphology import binary_dilation
-from videovanish_tpu.ops.resize import plan_long_side, resize_bilinear, resize_nearest_2d
+from videovanish_tpu.ops.resize import plan_long_side, resize_nearest_2d
+
+
+def _host_resize_bilinear_u8(frames: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side INTER_LINEAR resize of (T,H,W,3) uint8 (same half-pixel
+    semantics as ops/resize.resize_bilinear; uint8 rounding only)."""
+    try:
+        import cv2
+        return np.stack([cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
+                         for f in frames])
+    except ImportError:  # pragma: no cover - cv2 ships with the package
+        from videovanish_tpu.ops.resize import resize_bilinear
+        out = resize_bilinear(jnp.asarray(frames), h, w)
+        return np.asarray(jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8))
+
+
+def _host_resize_nearest_2d(masks: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side INTER_NEAREST resize of (T,H,W) uint8 (cv2 floor
+    semantics, matching ops/resize.resize_nearest_2d)."""
+    H, W = masks.shape[1], masks.shape[2]
+    ys = np.minimum(np.floor(np.arange(h) * (H / h)).astype(np.int64), H - 1)
+    xs = np.minimum(np.floor(np.arange(w) * (W / w)).astype(np.int64), W - 1)
+    return masks[:, ys[:, None], xs[None, :]]
+
+
+@functools.partial(jax.jit, static_argnames=("h8", "w8"))
+def _stage_on_device(x_u8, m_u8, h8: int, w8: int):
+    """uint8 frames/mask -> f32 frames in [0,1], f32 mask, latent-res mask.
+    Runs on device so only uint8 crosses the host link."""
+    x = x_u8.astype(jnp.float32) / 255.0
+    m = m_u8 > 0
+    m_f = m.astype(jnp.float32)[..., None]
+    m_lat = resize_nearest_2d(m.astype(jnp.uint8), h8, w8)
+    return x, m_f, m_lat.astype(jnp.float32)[..., None]
 
 
 def make_window_plan(n_frames: int, clip_len: int, overlap: int):
@@ -192,6 +225,15 @@ class DiffuEraser:
             return self._jit_cache[t_frames]
 
         vae, unet, brushnet = self.vae, self.unet, self.brushnet
+        if self.mesh is not None:
+            from videovanish_tpu.core.mesh import DATA_AXIS
+            ndev = self.mesh.shape[DATA_AXIS]
+            if ndev > 1 and t_frames % ndev == 0:
+                # sequence parallelism: this window's frames shard over
+                # "data"; temporal attention runs as ring attention over
+                # ICI instead of letting XLA all-gather the clip
+                unet = unet.clone(ring_mesh=self.mesh)
+                brushnet = brushnet.clone(ring_mesh=self.mesh)
         schedule = self.schedule
         scale = self.cfg.vae_scaling_factor
         steps = pcm_timesteps(self.cfg.num_inference_steps,
@@ -204,9 +246,13 @@ class DiffuEraser:
                              method=vae.encode) * scale
 
         def decode(params, z):
+            """Latents -> RGB uint8 (uint8 on device: 4x fewer bytes over
+            the host link than f32)."""
             x = vae.apply({"params": params["vae"]},
                           (z / scale).astype(unet.dtype), method=vae.decode)
-            return jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+            x01 = jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+            return jnp.clip(jnp.rint(x01 * 255.0), 0.0, 255.0) \
+                .astype(jnp.uint8)
 
         def denoise_window(params, prior_lat, masked_lat, mask_lat, noise,
                            prompt_emb):
@@ -278,27 +324,32 @@ class DiffuEraser:
         h, w = plan_long_side(H0, W0, min(max_img_size, cfg.max_img_size), 8)
         h8, w8 = h // 8, w // 8
 
-        # ---- host->device staging + preprocessing (jit-fused) ----
-        x = jnp.asarray(frames, jnp.float32) / 255.0
-        if (H0, W0) != (h, w):
-            x = resize_bilinear(x, h, w)
-        m = jnp.asarray(masks)
+        # ---- host->device staging ----
+        # The axon tunnel moves ~25 MB/s, so bytes on the wire dominate the
+        # 720p wall clock (measured: f32 full-res staging alone cost more
+        # than all device compute). Resize to the inference resolution on
+        # host (cv2-exact semantics, matching ops/resize.py) and ship
+        # uint8 — 7x fewer bytes than f32 full-res; normalization happens
+        # on device. Dilation (rare in-model path; the pipeline layer
+        # dilates before calling us, diffuerase.py:26-31) happens at full
+        # res on host to preserve reference semantics.
         if mask_dilation_iter > 0:
-            m = binary_dilation(m, mask_dilation_iter)
+            masks = np.asarray(binary_dilation(jnp.asarray(masks),
+                                               mask_dilation_iter))
         if (H0, W0) != (h, w):
-            m = resize_nearest_2d(m.astype(jnp.uint8), h, w)
-        m = (m > 0)
-        m_f = m.astype(jnp.float32)[..., None]
-        m_lat = resize_nearest_2d(m.astype(jnp.uint8), h8, w8)
-        m_lat = m_lat.astype(jnp.float32)[..., None]
+            frames = _host_resize_bilinear_u8(frames, h, w)
+            masks = _host_resize_nearest_2d(masks, h, w)
+        x_u8 = jnp.asarray(frames)                    # (T,h,w,3) uint8
+        m_u8 = jnp.asarray(masks)                     # (T,h,w) uint8 0/1
+        x, m_f, m_lat = _stage_on_device(x_u8, m_u8, h8, w8)
 
         if prior_frames is not None:
-            p = jnp.asarray(np.stack([np.asarray(f) for f in prior_frames]),
-                            jnp.float32) / 255.0
-            if p.shape[1:3] != (h, w):
-                p = resize_bilinear(p, h, w)
+            pf = np.stack([np.asarray(f) for f in prior_frames])
+            if pf.shape[1:3] != (h, w):
+                pf = _host_resize_bilinear_u8(pf, h, w)
+            p = jnp.asarray(pf).astype(jnp.float32) / 255.0
         else:
-            p = x * (1.0 - m_f)  # no prior: seed from masked input
+            p = None  # no prior: prior latents == masked-input latents
 
         clip_len = min(cfg.clip_length, T)
         encode, denoise_window, decode = self._get_jitted(clip_len)
@@ -317,9 +368,13 @@ class DiffuEraser:
             return jnp.concatenate(outs, 0)[:n]
 
         prog(5, "VAE-encoding frames")
-        # one batched encode for masked+prior frames (single dispatch)
-        both = batched(encode, jnp.concatenate([x * (1.0 - m_f), p], axis=0))
-        masked_lat, prior_lat = both[:T], both[T:]
+        masked = x * (1.0 - m_f)
+        if p is None:
+            # prior == masked input -> encode once, reuse (halves encode)
+            masked_lat = prior_lat = batched(encode, masked)
+        else:
+            both = batched(encode, jnp.concatenate([masked, p], axis=0))
+            masked_lat, prior_lat = both[:T], both[T:]
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),
@@ -368,9 +423,25 @@ class DiffuEraser:
 
         z_final = acc / wsum
         prog(85, "VAE-decoding frames")
-        rgb = batched(decode, z_final)  # (T, h, w, 3) in [0,1]
-        out = np.asarray(jnp.clip(jnp.rint(rgb * 255.0), 0, 255)
-                         .astype(jnp.uint8))
+        # decode in sub-batches, overlapping the device->host fetch of
+        # chunk i with the decode of chunk i+1 (the ~25 MB/s tunnel makes
+        # the fetch comparable to the decode itself)
+        chunk = 8
+        chunks = []
+        for i in range(0, T, chunk):
+            z_c = jax.lax.dynamic_slice_in_dim(
+                z_final, min(i, max(T - chunk, 0)), min(chunk, T))
+            u8 = decode(self.params, z_c)
+            try:
+                u8.copy_to_host_async()
+            except Exception:
+                pass
+            chunks.append((i, u8))
+        out = np.empty((T, h, w, 3), np.uint8)
+        for i, u8 in chunks:
+            arr = np.asarray(u8)
+            out[i:i + chunk] = arr[-(min(chunk, T - i)):] \
+                if i + chunk > T else arr
         prog(100, "diffusion inpainting done")
         return [out[i] for i in range(T)]
 

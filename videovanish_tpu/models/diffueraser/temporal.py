@@ -21,16 +21,32 @@ from videovanish_tpu.models.diffueraser.blocks import (
 
 class TemporalAttentionBlock(nn.Module):
     """Pre-LN temporal self-attention + FF, with sinusoidal frame-position
-    encoding. Input (B*T, H, W, C); t_frames is the static clip length."""
+    encoding. Input (B*T, H, W, C); t_frames is the static clip length.
+
+    ring_mesh: when set (and its ring_axis has size > 1), the temporal
+    self-attention runs sequence-parallel over the mesh via ring attention
+    — each device keeps its resident frames, K/V blocks rotate over ICI
+    (parallel/ring_attention.py). t_frames must then be a multiple of the
+    ring-axis size. The param tree is identical either way."""
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     max_frames: int = 64
+    ring_mesh: object = None
+    ring_axis: str = "data"
 
     @nn.compact
     def __call__(self, x, t_frames: int):
         BT, H, W, C = x.shape
         B = BT // t_frames
         head_dim = C // self.num_heads
+
+        attn_fn = None
+        if self.ring_mesh is not None \
+                and self.ring_mesh.shape[self.ring_axis] > 1:
+            from videovanish_tpu.parallel.ring_attention import (
+                ring_attention_for_mesh,
+            )
+            attn_fn = ring_attention_for_mesh(self.ring_mesh, self.ring_axis)
 
         # (B*T, H, W, C) -> (B*H*W, T, C)
         h = x.reshape(B, t_frames, H * W, C).transpose(0, 2, 1, 3)
@@ -41,7 +57,7 @@ class TemporalAttentionBlock(nn.Module):
         hn = nn.LayerNorm(dtype=jnp.float32, name="norm1")(h)
         hn = (hn + pos[None]).astype(x.dtype)
         h = h + Attention(self.num_heads, head_dim, dtype=self.dtype,
-                          name="attn")(hn)
+                          attn_fn=attn_fn, name="attn")(hn)
         hn = nn.LayerNorm(dtype=jnp.float32, name="norm2")(h)
         h = h + FeedForward(dtype=self.dtype, name="ff")(hn.astype(x.dtype))
 

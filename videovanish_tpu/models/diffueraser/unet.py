@@ -42,6 +42,7 @@ class UNetCondition(nn.Module):
     num_attention_heads: int = 8
     cross_attention_dim: int = 768
     use_temporal: bool = True
+    ring_mesh: object = None  # mesh for sequence-parallel temporal attention
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,7 +85,7 @@ class UNetCondition(nn.Module):
                         h, encoder_hidden_states)
                     if temporal:
                         h = TemporalAttentionBlock(
-                            heads, dtype=self.dtype,
+                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
                             name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 h = maybe_add(h, bd.pop(0) if bd else None)
                 down_res.append(h)
@@ -100,7 +101,8 @@ class UNetCondition(nn.Module):
         h = Transformer2D(heads, ch[-1] // heads, dtype=self.dtype,
                           name="mid_block_attentions_0")(h, encoder_hidden_states)
         if temporal:
-            h = TemporalAttentionBlock(heads, dtype=self.dtype,
+            h = TemporalAttentionBlock(heads, ring_mesh=self.ring_mesh,
+                                       dtype=self.dtype,
                                        name="mid_block_motion_modules_0")(
                 h, t_frames)
         h = ResnetBlock2D(ch[-1], dtype=self.dtype,
@@ -123,7 +125,7 @@ class UNetCondition(nn.Module):
                         h, encoder_hidden_states)
                     if temporal:
                         h = TemporalAttentionBlock(
-                            heads, dtype=self.dtype,
+                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
                             name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 h = maybe_add(h, bu.pop(0) if bu else None)
             if i < n_blocks - 1:

@@ -138,14 +138,15 @@ class Hiera(nn.Module):
         x = PatchEmbed(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
         B, H, W, C = x.shape
 
-        # absolute pos embed: background grid interpolated + tiled window embed
+        # absolute pos embed: background grid interpolated (bicubic, as the
+        # official implementation does) + tiled window embed
         bkg = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, *self.pos_embed_bkg_size, self.embed_dim))
         win = self.param("pos_embed_window", nn.initializers.normal(0.02),
                          (1, self.pos_embed_window_size,
                           self.pos_embed_window_size, self.embed_dim))
-        import jax
-        pe = jax.image.resize(bkg, (1, H, W, C), method="bilinear")
+        from videovanish_tpu.ops.resize import resize_bicubic_torch
+        pe = resize_bicubic_torch(bkg, H, W)
         tiles_h, tiles_w = -(-H // win.shape[1]), -(-W // win.shape[2])
         pe_win = jnp.tile(win, (1, tiles_h, tiles_w, 1))[:, :H, :W]
         x = x + (pe + pe_win).astype(x.dtype)
@@ -155,12 +156,15 @@ class Hiera(nn.Module):
         heads = self.num_heads
         blk = 0
         for si, depth in enumerate(self.stages):
-            ws = self.window_spec[si]
             for di in range(depth):
                 q_pool = si > 0 and di == 0  # pool at stage entry
                 if q_pool:
                     dim *= 2
                     heads *= 2
+                # stage-entry (pooling) blocks window at the PREVIOUS
+                # stage's size — they still see the pre-pool resolution
+                ws = self.window_spec[si - 1] if q_pool \
+                    else self.window_spec[si]
                 wsz = 0 if blk in self.global_att_blocks else ws
                 x = MultiScaleBlock(dim, heads, wsz, q_pool=q_pool,
                                     dtype=self.dtype,

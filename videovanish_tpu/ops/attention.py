@@ -42,8 +42,14 @@ def _xla_attention(q, k, v, scale, is_causal=False):
     return out.astype(out_dtype)
 
 
-def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, scale, block_k):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref):
+    """Online-softmax block. The wrapper pre-folds scale*log2(e) into q
+    and carries KV-padding masking through the MXU: the last (padded)
+    head lane of q is 1.0 and of k is 0.0 for real rows / -1e30 for pad
+    rows, so padded columns arrive at -1e30 with zero VPU masking cost.
+    Softmax runs in base 2 (exp2) — one fewer multiply per element than
+    exp on the hot (bq, bk) tile."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -57,18 +63,13 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
     k = k_ref[0]  # (bk, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (bq, bk)
-
-    # mask out K padding beyond the true kv length
-    kv_len = kvlen_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-    s = jnp.where(col < kv_len, s, _NEG_INF)
+        preferred_element_type=jnp.float32)     # (bq, bk), log2-domain
 
     m_prev = m_ref[:, :1]                       # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)             # (bq, 1)
-    p = jnp.exp(s - m_new)                      # (bq, bk)
+    alpha = jnp.exp2(m_prev - m_new)            # (bq, 1)
+    p = jnp.exp2(s - m_new)                     # (bq, bk)
 
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -84,13 +85,64 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_iota(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+                       acc_ref, m_ref, l_ref, *, block_k):
+    """Fallback when no free head lane exists (D already lane-aligned):
+    KV padding is masked with an iota/compare on the (bq, bk) tile."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    kv_len = kvlen_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+_LOG2E = 1.4426950408889634
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     """Pallas flash attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D).
+
+    scale*log2(e) is folded into q (softmax runs in base 2), so the hot
+    tile does one exp2 and no scale multiply. KV-padding masking rides
+    the MXU when the head dim has a padded lane to spare (SD1.5 head
+    dims 40/80/160 all do): q's last lane is 1.0 and k's last lane is
+    0 for real rows / -1e30 for pad rows, so pad columns score -1e30
+    with no per-block VPU work.
 
     Default block sizes scale inversely with the padded head dim so the
     per-program VMEM footprint stays under the ~16MB scoped limit: 1024
@@ -109,38 +161,58 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     Sqp = _round_up(Sq, bq)
     Skp = _round_up(Sk, bk)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qp = jnp.pad(qs, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
+
+    needs_mask = Skp != Sk
+    use_flag = needs_mask and Dp > D
+    if use_flag:
+        qp = qp.at[..., -1].set(jnp.asarray(1.0, qp.dtype))
+        kcol = jnp.where(jnp.arange(Skp) < Sk, 0.0, _NEG_INF)
+        kp = kp.at[..., -1].set(kcol.astype(kp.dtype))
+
     qp = qp.reshape(B * H, Sqp, Dp)
     kp = kp.reshape(B * H, Skp, Dp)
     vp = vp.reshape(B * H, Skp, Dp)
 
     grid = (B * H, Sqp // bq, Skp // bk)
-    kv_len = jnp.array([Sk], dtype=jnp.int32)
+    scratch = [
+        pltpu.VMEM((bq, Dp), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+    ]
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+    out_shape = jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype)
+    q_spec = pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0))
 
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=bk),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+    if needs_mask and not use_flag:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_iota, block_k=bk),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[q_spec, kv_spec, kv_spec],
+                out_specs=q_spec,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+        )(jnp.array([Sk], dtype=jnp.int32), qp, kp, vp)
+    else:
+        out = pl.pallas_call(
+            _flash_kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0)),
-                pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0)),
-                pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((bq, Dp), jnp.float32),
-                pltpu.VMEM((bq, 128), jnp.float32),
-                pltpu.VMEM((bq, 128), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(kv_len, qp, kp, vp)
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            scratch_shapes=scratch,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+        )(qp, kp, vp)
     return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
 
 

@@ -30,6 +30,41 @@ def resize_nearest_2d(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return resize_nearest(img[..., None], out_h, out_w)[..., 0]
 
 
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic-convolution kernel (torch F.interpolate bicubic uses a=-0.75;
+    jax.image.resize uses a=-0.5, hence this explicit implementation)."""
+    at = jnp.abs(t)
+    return jnp.where(
+        at <= 1.0, ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+        jnp.where(at < 2.0, a * (((at - 5.0) * at + 8.0) * at - 4.0), 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bicubic_torch(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """torch.nn.functional.interpolate(mode="bicubic",
+    align_corners=False)-compatible resize of (..., H, W, C); returns f32.
+    Half-pixel centers, 4-tap cubic (a=-0.75), edge-clamped taps. Used for
+    the Hiera absolute-position-embedding interpolation, which the
+    official SAM2 does bicubically."""
+    H, W = img.shape[-3], img.shape[-2]
+    x = img.astype(jnp.float32)
+
+    def taps(out_n, N):
+        f = (jnp.arange(out_n) + 0.5) * (N / out_n) - 0.5
+        base = jnp.floor(f).astype(jnp.int32)
+        frac = f - base
+        idx = jnp.stack([jnp.clip(base + o, 0, N - 1) for o in (-1, 0, 1, 2)])
+        wts = jnp.stack([_cubic_weights(frac + 1.0), _cubic_weights(frac),
+                         _cubic_weights(frac - 1.0), _cubic_weights(frac - 2.0)])
+        return idx, wts  # (4, out_n) each
+
+    yi, yw = taps(out_h, H)
+    xi, xw = taps(out_w, W)
+    rows = sum(x[..., yi[i], :, :] * yw[i][:, None, None] for i in range(4))
+    out = sum(rows[..., :, xi[i], :] * xw[i][None, :, None] for i in range(4))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """cv2.INTER_LINEAR-compatible resize (half-pixel centers).

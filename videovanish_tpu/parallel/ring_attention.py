@@ -89,3 +89,31 @@ def make_ring_attention(mesh, axis_name: str = "data"):
         out_specs=P(None, None, axis_name, None),
     )
     return jax.jit(fn)
+
+
+def ring_attention_for_mesh(mesh, seq_axis: str = "data",
+                            head_axis: str = "model"):
+    """Attention impl for use INSIDE a jitted model forward: (B,H,S,D)
+    q/k/v in, same-shape out, with the sequence axis S sharded over
+    `seq_axis` (ring/sequence parallelism) and heads over `head_axis`
+    when divisible (tensor parallelism). This is the hook the UNet's
+    temporal attention plugs into (models/diffueraser/temporal.py):
+    frames stay resident on their data-shard; only K/V blocks rotate
+    over ICI. Caller must guarantee S % mesh.shape[seq_axis] == 0.
+    """
+    from jax import shard_map
+
+    def fn(q, k, v, scale=None):
+        H = q.shape[1]
+        h_ax = None
+        if head_axis in mesh.axis_names:
+            n_h = mesh.shape[head_axis]
+            if n_h > 1 and H % n_h == 0:
+                h_ax = head_axis
+        spec = P(None, h_ax, seq_axis, None)
+        body = functools.partial(ring_attention, axis_name=seq_axis,
+                                 scale=scale)
+        return shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec)(q, k, v)
+
+    return fn
