@@ -179,3 +179,204 @@ class TestLayoutTransforms:
         ref = x @ w.T
         out = x @ t_linear(w)
         np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestSam2HieraParityHF:
+    """Our Hiera vs the official SAM2 backbone (transformers ships the
+    reference architecture; random weights make it a bit-exact oracle —
+    SURVEY.md §2c SAM2 internals)."""
+
+    def test_backbone_matches_hf(self, rng):
+        from transformers.models.sam2.configuration_sam2 import (
+            Sam2HieraDetConfig,
+        )
+        from transformers.models.sam2.modeling_sam2 import Sam2HieraDetModel
+        from videovanish_tpu.core.convert import HF_SAM2_RULES, SAM2_SPECIALS
+        from videovanish_tpu.models.sam2.hiera import Hiera
+
+        cfg = Sam2HieraDetConfig(
+            hidden_size=32, blocks_per_stage=[1, 2, 2, 1],
+            embed_dim_per_stage=[32, 64, 128, 256],
+            num_attention_heads_per_stage=[1, 2, 4, 8],
+            window_size_per_stage=[8, 4, 14, 7],
+            global_attention_blocks=[4], image_size=[128, 128])
+        tm = Sam2HieraDetModel(cfg).eval()
+        gen = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+
+        x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        refs = [r.numpy() for r in ref.intermediate_hidden_states]
+
+        params = convert_state_dict(
+            {k: to_np(v) for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)
+        m = Hiera(embed_dim=32, num_heads=1, stages=(1, 2, 2, 1),
+                  window_spec=(8, 4, 14, 7), global_att_blocks=(4,),
+                  pos_embed_bkg_size=(7, 7), pos_embed_window_size=8)
+        outs = m.apply({"params": params}, jnp.asarray(x))
+        assert len(outs) == len(refs)
+        for i, (o, r) in enumerate(zip(outs, refs)):
+            assert o.shape == r.shape, (i, o.shape, r.shape)
+            np.testing.assert_allclose(np.asarray(o), r, atol=2e-4,
+                                       err_msg=f"stage {i}")
+
+    def test_vision_encoder_with_neck_matches_hf(self, rng):
+        from transformers.models.sam2.configuration_sam2 import (
+            Sam2HieraDetConfig, Sam2VisionConfig,
+        )
+        from transformers.models.sam2.modeling_sam2 import Sam2VisionModel
+        from videovanish_tpu.core.convert import HF_SAM2_RULES, SAM2_SPECIALS
+        from videovanish_tpu.models.sam2.hiera import Hiera
+        from videovanish_tpu.models.sam2.neck import FpnNeck
+
+        bb = Sam2HieraDetConfig(
+            hidden_size=32, blocks_per_stage=[1, 2, 2, 1],
+            embed_dim_per_stage=[32, 64, 128, 256],
+            num_attention_heads_per_stage=[1, 2, 4, 8],
+            window_size_per_stage=[8, 4, 14, 7],
+            global_attention_blocks=[4], image_size=[128, 128])
+        cfg = Sam2VisionConfig(
+            backbone_config=bb, fpn_hidden_size=64,
+            backbone_channel_list=[256, 128, 64, 32])
+        tm = Sam2VisionModel(cfg).eval()
+        gen = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+
+        x = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        # HF returns the last num_feature_levels (3) FPN levels reversed:
+        # [stride4, stride8, stride16], channel-first
+        ref_feats = [r.permute(0, 2, 3, 1).numpy()
+                     for r in ref.fpn_hidden_states]
+        ref_pos = [r.permute(0, 2, 3, 1).numpy()
+                   for r in ref.fpn_position_encoding]
+
+        params = convert_state_dict(
+            {k: to_np(v) for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)
+        hiera = Hiera(embed_dim=32, num_heads=1, stages=(1, 2, 2, 1),
+                      window_spec=(8, 4, 14, 7), global_att_blocks=(4,),
+                      pos_embed_bkg_size=(7, 7), pos_embed_window_size=8)
+        neck = FpnNeck(d_model=64)
+        feats = hiera.apply({"params": params["hiera"]}, jnp.asarray(x))
+        outs, pos = neck.apply({"params": params["neck"]}, feats)
+        for i in range(3):
+            np.testing.assert_allclose(np.asarray(outs[i]), ref_feats[i],
+                                       atol=2e-4, err_msg=f"feat {i}")
+            np.testing.assert_allclose(np.asarray(pos[i])[None], ref_pos[i],
+                                       atol=1e-5, err_msg=f"pos {i}")
+
+
+class TestSam2ImagePipelineParityHF:
+    """Full single-image SAM2 path (Hiera -> FPN -> prompt encoder ->
+    mask decoder) vs transformers' Sam2Model with converted random
+    weights — the architecture oracle for the reference's
+    sam2.1_hiera_large checkpoint family."""
+
+    def _tiny_hf_model(self):
+        from transformers.models.sam2.configuration_sam2 import (
+            Sam2Config, Sam2HieraDetConfig, Sam2MaskDecoderConfig,
+            Sam2PromptEncoderConfig, Sam2VisionConfig,
+        )
+        from transformers.models.sam2.modeling_sam2 import Sam2Model
+        bb = Sam2HieraDetConfig(
+            hidden_size=32, blocks_per_stage=[1, 2, 2, 1],
+            embed_dim_per_stage=[32, 64, 128, 256],
+            num_attention_heads_per_stage=[1, 2, 4, 8],
+            window_size_per_stage=[8, 4, 14, 7],
+            global_attention_blocks=[4], image_size=[128, 128])
+        vis = Sam2VisionConfig(
+            backbone_config=bb, fpn_hidden_size=64,
+            backbone_channel_list=[256, 128, 64, 32],
+            backbone_feature_sizes=[[32, 32], [16, 16], [8, 8]])
+        cfg = Sam2Config(
+            vision_config=vis,
+            prompt_encoder_config=Sam2PromptEncoderConfig(
+                hidden_size=64, image_size=128, patch_size=16),
+            mask_decoder_config=Sam2MaskDecoderConfig(
+                hidden_size=64, mlp_dim=512, iou_head_hidden_dim=64))
+        m = Sam2Model(cfg).eval()
+        gen = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in m.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+            # image-only pipeline: the video no-memory embedding is out of
+            # scope here (predictor-level); zero it on the oracle
+            m.no_memory_embedding.zero_()
+            m._tie_weights()
+        return m
+
+    def test_point_prompted_masks_match_hf(self, rng):
+        from videovanish_tpu.core.convert import HF_SAM2_RULES, SAM2_SPECIALS
+        from videovanish_tpu.models.sam2.decoder import MaskDecoder
+        from videovanish_tpu.models.sam2.hiera import Hiera
+        from videovanish_tpu.models.sam2.neck import FpnNeck
+        from videovanish_tpu.models.sam2.prompt import MAX_POINTS, PromptEncoder
+
+        tm = self._tiny_hf_model()
+        img = rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+        pts = np.array([[[[40.0, 60.0], [90.0, 30.0]]]], np.float32)  # (1,1,2,2)
+        labs = np.array([[[1, 0]]], np.int64)
+        with torch.no_grad():
+            ref = tm(pixel_values=torch.from_numpy(img).permute(0, 3, 1, 2),
+                     input_points=torch.from_numpy(pts),
+                     input_labels=torch.from_numpy(labs),
+                     multimask_output=True)
+        ref_masks = ref.pred_masks[:, 0].numpy()      # (1, 3, 32, 32)
+        ref_iou = ref.iou_scores[:, 0].numpy()        # (1, 3)
+
+        params = convert_state_dict(
+            {k: to_np(v) for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)
+
+        hiera = Hiera(embed_dim=32, num_heads=1, stages=(1, 2, 2, 1),
+                      window_spec=(8, 4, 14, 7), global_att_blocks=(4,),
+                      pos_embed_bkg_size=(7, 7), pos_embed_window_size=8)
+        neck = FpnNeck(d_model=64)
+        penc = PromptEncoder(embed_dim=64, image_size=128)
+        dec = MaskDecoder(embed_dim=64)
+
+        feats = hiera.apply({"params": params["hiera"]}, jnp.asarray(img))
+        fpn, _ = neck.apply({"params": params["neck"]}, feats)
+        f4, f8, f16 = fpn[0], fpn[1], fpn[2]
+
+        points = np.zeros((1, MAX_POINTS, 2), np.float32)
+        labels = np.full((1, MAX_POINTS), -1, np.int32)
+        points[0, :2] = pts[0, 0]
+        labels[0, :2] = labs[0, 0]
+        sparse, no_mask = penc.apply({"params": params["prompt_encoder"]},
+                                     jnp.asarray(points), jnp.asarray(labels))
+        dense_pe = penc.apply({"params": params["prompt_encoder"]}, 8, 8,
+                              method=penc.dense_pe)
+        real = jnp.asarray(labels) >= 0
+        pad_rank = jnp.cumsum((~real).astype(jnp.int32), axis=1)
+        sparse_valid = real | ((pad_rank == 1) & ~real)
+
+        # obj_ptr_proj lives in the VIDEO model (object_pointer_proj);
+        # the image-model oracle has no weights for it — keep init values
+        # for that head only (its output is not compared here)
+        dec_init = dec.init(
+            jax.random.PRNGKey(0), f16, dense_pe[None], sparse, f4, f8,
+            sparse_valid=sparse_valid)["params"]
+
+        def merge(dst, src):
+            for k, v in src.items():
+                dst[k] = merge(dict(dst.get(k, {})), v) \
+                    if isinstance(v, dict) else v
+            return dst
+
+        dec_params = merge(dict(dec_init), params["decoder"])
+        out = dec.apply({"params": dec_params},
+                        f16 + no_mask[None, None, None], dense_pe[None],
+                        sparse, f4, f8, sparse_valid=sparse_valid)
+        ours_masks = np.asarray(out["masks"])[:, 1:4]
+        ours_iou = np.asarray(out["iou"])[:, 1:4]
+        np.testing.assert_allclose(ours_masks, ref_masks, atol=1e-3)
+        np.testing.assert_allclose(ours_iou, ref_iou, atol=1e-4)

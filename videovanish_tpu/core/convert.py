@@ -34,7 +34,9 @@ def t_conv(w: np.ndarray) -> np.ndarray:
 
 
 def t_conv_transpose(w: np.ndarray) -> np.ndarray:
-    return np.transpose(w, (2, 3, 1, 0))
+    # torch ConvTranspose2d stores (I, O, kh, kw); flax ConvTranspose
+    # kernels are (kh, kw, I, O)
+    return np.transpose(w, (2, 3, 0, 1))
 
 
 def t_linear(w: np.ndarray) -> np.ndarray:
@@ -50,7 +52,8 @@ def t_identity(w: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 _BLOCK_PAT = re.compile(
     r"\b(down_blocks|up_blocks|mid_block|attentions|resnets|motion_modules|"
-    r"downsamplers|upsamplers|transformer_blocks|blocks|layers|net)\.(\d+)")
+    r"downsamplers|upsamplers|transformer_blocks|output_hypernetworks_mlps|"
+    r"blocks|convs|layers|net)\.(\d+)")
 
 
 def flatten_block_indices(key: str) -> str:
@@ -160,10 +163,21 @@ SAM2_RULES: list[tuple[str, str]] = [
 ]
 
 # Hiera absolute position embeddings are stored NCHW in both the fb and
-# HF checkpoints; our params are NHWC.
+# HF checkpoints; our params are NHWC. Prompt-encoder single-row
+# embedding tables flatten to vectors; the decoder's 1x1 high-res skip
+# convs become Dense kernels.
 SAM2_SPECIALS: list = [
     (r"(^|\.)pos_embed(_window)?$", None,
      lambda a: np.transpose(a, (0, 2, 3, 1))),
+    (r"(not_a_point_embed|no_mask_embed)$", None, lambda a: a.reshape(-1)),
+    (r"conv_s[48]\.weight$", "kernel", lambda a: a[:, :, 0, 0].T),
+    (r"output_upscaling_[01]\.weight$", "kernel", t_conv_transpose),
+    # embedding tables / buffers that must keep their (renamed) leaf and
+    # raw layout (the generic .weight inference would transpose them)
+    (r"positional_encoding_gaussian_matrix$",
+     "positional_encoding_gaussian_matrix", t_identity),
+    (r"\.point_embeddings$", "point_embeddings", t_identity),
+    (r"\.(iou_token|mask_tokens|obj_score_token)$", None, t_identity),
 ]
 
 # HF transformers Sam2 (Sam2HieraDetModel / Sam2VideoModel) naming ->
@@ -171,9 +185,40 @@ SAM2_SPECIALS: list = [
 # official SAM2 architecture, so a randomly-initialized HF model is a
 # bit-exact oracle for our modules without downloading weights.
 HF_SAM2_RULES: list[tuple[str, str]] = [
-    (r"^vision_encoder\.backbone\.", "hiera."),
-    (r"^vision_encoder\.neck\.", "neck."),
+    (r"^(vision_encoder\.)?backbone\.", "hiera."),
+    (r"^(vision_encoder\.)?neck\.", "neck."),
+    (r"^mask_decoder\.", "decoder."),
+    (r"^object_pointer_proj\.", "decoder.obj_ptr_proj."),
+    (r"^prompt_encoder\.shared_embedding\.positional_embedding$",
+     "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"),
+    (r"^prompt_encoder\.point_embed\.weight$",
+     "prompt_encoder.point_embeddings"),
+    (r"^prompt_encoder\.(not_a_point_embed|no_mask_embed)\.weight$",
+     r"prompt_encoder.\1"),
+    (r"^prompt_encoder\.mask_embed\.", None),  # mask prompts: not used by
+    # the reference surface (clicks/boxes only, sam2_masker.py:121-138)
     (r"patch_embed\.projection\.", "patch_embed.proj."),
+    # mask decoder: two-way transformer blocks
+    (r"(transformer\.layers\.\d+)\.mlp\.proj_in\.", r"\1.mlp_lin1."),
+    (r"(transformer\.layers\.\d+)\.mlp\.proj_out\.", r"\1.mlp_lin2."),
+    (r"\.o_proj\.", ".out_proj."),
+    (r"\.layer_norm_final_attn\.", ".norm_final_attn."),
+    # mask decoder: 3-layer FeedForward heads -> our MLP layers_{0,1,2}
+    # (middle layer FIRST so proj_in's rewrite to layers.0 isn't re-hit)
+    (r"(iou_prediction_head|pred_obj_score_head|obj_ptr_proj|"
+     r"output_hypernetworks_mlps\.\d+)\.layers\.0\.", r"\1.layers.1."),
+    (r"(iou_prediction_head|pred_obj_score_head|obj_ptr_proj|"
+     r"output_hypernetworks_mlps\.\d+)\.proj_in\.", r"\1.layers.0."),
+    (r"(iou_prediction_head|pred_obj_score_head|obj_ptr_proj|"
+     r"output_hypernetworks_mlps\.\d+)\.proj_out\.", r"\1.layers.2."),
+    # mask decoder: upscaling + skip projections + tokens
+    (r"\.upscale_conv1\.", ".output_upscaling_0."),
+    (r"\.upscale_conv2\.", ".output_upscaling_1."),
+    (r"\.upscale_layer_norm\.", ".output_upscaling_ln."),
+    (r"\.conv_s0\.", ".conv_s4."),
+    (r"\.conv_s1\.", ".conv_s8."),
+    (r"\.(iou_token|mask_tokens|obj_score_token)\.weight$", r".\1"),
+    # generic layer norms / MLPs (Hiera, memory attention)
     (r"\.layer_norm1\.", ".norm1."),
     (r"\.layer_norm2\.", ".norm2."),
     (r"\.layer_norm3\.", ".norm3."),

@@ -24,7 +24,7 @@ class DecoderAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, key_mask=None):
         inner = self.embed_dim // self.downsample_rate
         hd = inner // self.num_heads
         B = q.shape[0]
@@ -35,7 +35,8 @@ class DecoderAttention(nn.Module):
         def heads(t):
             return t.reshape(B, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
 
-        out = flash_attention(heads(qp), heads(kp), heads(vp))
+        out = flash_attention(heads(qp), heads(kp), heads(vp),
+                              key_mask=key_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, inner)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
 
@@ -48,19 +49,21 @@ class TwoWayBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
-        # token self-attention
+    def __call__(self, queries, keys, query_pe, key_pe, token_valid=None):
+        # token self-attention (padded prompt slots masked out as keys so
+        # static MAX_POINTS shapes reproduce the official variable-length
+        # token math exactly)
         if self.skip_first_layer_pe:
             queries = DecoderAttention(self.embed_dim, self.num_heads,
                                        dtype=self.dtype, name="self_attn")(
-                queries, queries, queries)
+                queries, queries, queries, key_mask=token_valid)
         else:
             q = queries + query_pe
             attn = DecoderAttention(self.embed_dim, self.num_heads,
                                     dtype=self.dtype, name="self_attn")(
-                q, q, queries)
+                q, q, queries, key_mask=token_valid)
             queries = queries + attn
-        queries = nn.LayerNorm(dtype=jnp.float32, name="norm1")(queries)\
+        queries = nn.LayerNorm(1e-5, dtype=jnp.float32, name="norm1")(queries)\
             .astype(self.dtype)
 
         # token -> image
@@ -70,23 +73,24 @@ class TwoWayBlock(nn.Module):
                                 dtype=self.dtype,
                                 name="cross_attn_token_to_image")(q, k, keys)
         queries = queries + attn
-        queries = nn.LayerNorm(dtype=jnp.float32, name="norm2")(queries)\
+        queries = nn.LayerNorm(1e-5, dtype=jnp.float32, name="norm2")(queries)\
             .astype(self.dtype)
 
         # token MLP
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
         h = nn.relu(h)
         h = nn.Dense(self.embed_dim, dtype=self.dtype, name="mlp_lin2")(h)
-        queries = nn.LayerNorm(dtype=jnp.float32, name="norm3")(
+        queries = nn.LayerNorm(1e-5, dtype=jnp.float32, name="norm3")(
             queries + h).astype(self.dtype)
 
         # image -> token
         q = queries + query_pe
         attn = DecoderAttention(self.embed_dim, self.num_heads, 2,
                                 dtype=self.dtype,
-                                name="cross_attn_image_to_token")(k, q, queries)
+                                name="cross_attn_image_to_token")(
+            k, q, queries, key_mask=token_valid)
         keys = keys + attn
-        keys = nn.LayerNorm(dtype=jnp.float32, name="norm4")(keys)\
+        keys = nn.LayerNorm(1e-5, dtype=jnp.float32, name="norm4")(keys)\
             .astype(self.dtype)
         return queries, keys
 
@@ -99,22 +103,24 @@ class TwoWayTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embed, image_pe, point_embed):
+    def __call__(self, image_embed, image_pe, point_embed, token_valid=None):
         """image_embed: (B, HW, C); image_pe: (B, HW, C);
-        point_embed: (B, P, C). Returns (tokens, image)."""
+        point_embed: (B, P, C); token_valid: optional (B, P) bool mask of
+        real (non-padding) tokens. Returns (tokens, image)."""
         queries, keys = point_embed, image_embed
         for i in range(self.depth):
             queries, keys = TwoWayBlock(
                 self.embed_dim, self.num_heads, self.mlp_dim,
                 skip_first_layer_pe=(i == 0), dtype=self.dtype,
-                name=f"layers_{i}")(queries, keys, point_embed, image_pe)
+                name=f"layers_{i}")(queries, keys, point_embed, image_pe,
+                                    token_valid)
         # final token->image attention
         q = queries + point_embed
         k = keys + image_pe
         attn = DecoderAttention(self.embed_dim, self.num_heads, 2,
                                 dtype=self.dtype,
                                 name="final_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=jnp.float32, name="norm_final_attn")(
+        queries = nn.LayerNorm(1e-5, dtype=jnp.float32, name="norm_final_attn")(
             queries + attn).astype(self.dtype)
         return queries, keys
 
@@ -145,9 +151,9 @@ class MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embed, image_pe, sparse_prompt,
-                 high_res_s4=None, high_res_s8=None):
+                 high_res_s4=None, high_res_s8=None, sparse_valid=None):
         """image_embed: (B, H, W, C) stride-16 features (memory-conditioned)
-        sparse_prompt: (B, P, C)
+        sparse_prompt: (B, P, C); sparse_valid: optional (B, P) bool
         high_res_s4/s8: optional (B, 4H, 4W, C/8) / (B, 2H, 2W, C/4) skips
         Returns dict: masks (B, M, 4H*?, ...) logits at stride 4,
         iou (B, M), obj_ptr (B, C), obj_score (B, 1).
@@ -172,9 +178,13 @@ class MaskDecoder(nn.Module):
         pe = jnp.broadcast_to(image_pe, image_embed.shape)\
             .reshape(B, H * W, C).astype(self.dtype)
 
+        token_valid = None
+        if sparse_valid is not None:
+            out_valid = jnp.ones((B, 2 + n_masks), bool)
+            token_valid = jnp.concatenate([out_valid, sparse_valid], axis=1)
         hs, src = TwoWayTransformer(
             embed_dim=C, mlp_dim=8 * C, dtype=self.dtype,
-            name="transformer")(src, pe, tokens)
+            name="transformer")(src, pe, tokens, token_valid)
         obj_out = hs[:, 0]
         iou_out = hs[:, 1]
         mask_out = hs[:, 2:2 + n_masks]  # (B, M, C)
@@ -204,7 +214,9 @@ class MaskDecoder(nn.Module):
         masks = jnp.einsum("bmc,bhwc->bmhw", hyper.astype(jnp.float32),
                            up2.astype(jnp.float32))
 
-        iou_pred = MLP(C, n_masks, self.iou_head_depth, dtype=self.dtype,
+        # official sam2 iou head ends in a sigmoid
+        iou_pred = MLP(C, n_masks, self.iou_head_depth, sigmoid_out=True,
+                       dtype=self.dtype,
                        name="iou_prediction_head")(iou_out)
         obj_score = MLP(C, 1, 3, dtype=self.dtype,
                         name="pred_obj_score_head")(obj_out)

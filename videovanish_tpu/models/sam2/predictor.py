@@ -151,7 +151,7 @@ class Sam2VideoPredictor:
             lambda k: self.decoder.init(
                 k, jnp.zeros((1, s16, s16, d), self.dtype),
                 jnp.zeros((1, s16, s16, d)),
-                jnp.zeros((1, MAX_POINTS + 1, d), self.dtype),
+                jnp.zeros((1, MAX_POINTS, d), self.dtype),
                 jnp.zeros((1, s16 * 4, s16 * 4, d), self.dtype),
                 jnp.zeros((1, s16 * 2, s16 * 2, d), self.dtype)), ks[3])
         mem_tokens = self.tokens16 * cfg.num_maskmem + \
@@ -233,17 +233,31 @@ class Sam2VideoPredictor:
             x = jnp.where(any_mem[..., None], cond, x)
             x = x.reshape(O, s16, s16, d)
 
-            sparse, _ = self.prompt_encoder.apply(
+            sparse, no_mask = self.prompt_encoder.apply(
                 {"params": params["prompt_encoder"]}, points, labels)
-            pad = jnp.zeros((O, 1, d), sparse.dtype)
-            sparse = jnp.concatenate([sparse, pad], axis=1)
+            # official token set: real clicks/corners + exactly ONE
+            # not_a_point pad token; the remaining static MAX_POINTS slots
+            # are masked out of the decoder attention so the fixed-shape
+            # program reproduces the official variable-length math
+            real = labels >= 0                               # (O, P)
+            pad_rank = jnp.cumsum((~real).astype(jnp.int32), axis=1)
+            sparse_valid = real | ((pad_rank == 1) & ~real)
+
+            # official _forward_sam_heads: dense no-mask embedding added
+            # to the (memory-conditioned) image features, and the decoder
+            # image PE is the prompt encoder's random-Fourier dense PE
+            x = x + no_mask.astype(x.dtype)[None, None, None]
+            dense_pe = self.prompt_encoder.apply(
+                {"params": params["prompt_encoder"]}, s16, s16,
+                method=self.prompt_encoder.dense_pe)
 
             out = self.decoder.apply(
                 {"params": params["decoder"]}, x,
-                jnp.broadcast_to(pos16[None], (O, s16, s16, d)),
+                jnp.broadcast_to(dense_pe[None], (O, s16, s16, d)),
                 sparse.astype(self.dtype),
                 jnp.broadcast_to(f4, (O,) + f4.shape[1:]),
-                jnp.broadcast_to(f8, (O,) + f8.shape[1:]))
+                jnp.broadcast_to(f8, (O,) + f8.shape[1:]),
+                sparse_valid=sparse_valid)
 
             # pick best mask by predicted IoU
             best = jnp.argmax(out["iou"], axis=-1)  # (O,)

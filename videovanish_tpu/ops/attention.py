@@ -27,8 +27,11 @@ except ImportError:  # pragma: no cover
 _NEG_INF = -1e30
 
 
-def _xla_attention(q, k, v, scale, is_causal=False):
-    """Reference attention: f32 softmax accumulation, any shape."""
+def _xla_attention(q, k, v, scale, is_causal=False, key_mask=None):
+    """Reference attention: f32 softmax accumulation, any shape.
+
+    key_mask: optional (B, Sk) bool — False keys are excluded from the
+    softmax (used for padded prompt slots in the SAM2 mask decoder)."""
     out_dtype = q.dtype
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=jnp.float32) * scale
@@ -36,6 +39,8 @@ def _xla_attention(q, k, v, scale, is_causal=False):
         Sq, Sk = s.shape[-2], s.shape[-1]
         mask = jnp.tril(jnp.ones((Sq, Sk), dtype=bool), Sk - Sq)
         s = jnp.where(mask, s, _NEG_INF)
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, _NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
                      preferred_element_type=jnp.float32)
@@ -223,7 +228,7 @@ def _use_pallas() -> bool:
 
 
 def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
-              backend: str = "auto"):
+              backend: str = "auto", key_mask=None):
     """Multi-head attention over (B, H, S, D) tensors.
 
     backend: "auto" (pallas on TPU for long sequences, xla otherwise),
@@ -233,11 +238,14 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
     per-program overhead; long spatial self-attention (thousands of
     tokens) runs the flash kernel, where XLA would materialize an
     OOM-sized score tensor.
+
+    key_mask: optional (B, Sk) bool; False keys are masked out (XLA path
+    only — masked callers are short prompt-token sequences).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if backend == "pallas" or (
+    if key_mask is None and (backend == "pallas" or (
             backend == "auto" and _use_pallas() and not is_causal
-            and k.shape[2] >= 512):
+            and k.shape[2] >= 512)):
         return _flash_attention(q, k, v, float(scale))
-    return _xla_attention(q, k, v, float(scale), is_causal)
+    return _xla_attention(q, k, v, float(scale), is_causal, key_mask)
