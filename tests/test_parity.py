@@ -380,3 +380,102 @@ class TestSam2ImagePipelineParityHF:
         ours_iou = np.asarray(out["iou"])[:, 1:4]
         np.testing.assert_allclose(ours_masks, ref_masks, atol=1e-3)
         np.testing.assert_allclose(ours_iou, ref_iou, atol=1e-4)
+
+
+class TestSam2MemoryParityHF:
+    """Memory attention + memory encoder vs the official video model
+    modules (transformers Sam2Video oracle)."""
+
+    def _video_config(self):
+        from transformers.models.sam2_video.configuration_sam2_video import (
+            Sam2VideoConfig,
+        )
+        cfg = Sam2VideoConfig(
+            memory_attention_hidden_size=64,
+            memory_attention_num_layers=2,
+            memory_attention_feed_forward_hidden_size=128,
+            memory_attention_rope_feat_sizes=[4, 4],
+            memory_encoder_hidden_size=64,
+            memory_encoder_output_channels=16,
+            memory_fuser_embed_dim=64,
+            memory_fuser_intermediate_dim=256,
+            mask_downsampler_embed_dim=64,
+        )
+        cfg._attn_implementation = "eager"  # standalone module use
+        return cfg
+
+    def test_memory_attention_matches_hf(self, rng):
+        from transformers.models.sam2_video.modeling_sam2_video import (
+            Sam2VideoMemoryAttention,
+        )
+        from videovanish_tpu.core.convert import HF_SAM2_RULES, SAM2_SPECIALS
+        from videovanish_tpu.models.sam2.memory import MemoryAttention
+
+        cfg = self._video_config()
+        tm = Sam2VideoMemoryAttention(cfg).eval()
+        gen = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+
+        S, mem_dim = 16, 64  # 4x4 grid; kv_in = 64
+        n_spatial, n_ptr = 2 * S, 6
+        M = n_spatial + n_ptr
+        x = rng.standard_normal((S, 1, 64)).astype(np.float32)   # seq-first
+        x_pos = rng.standard_normal((S, 1, 64)).astype(np.float32)
+        mem = rng.standard_normal((M, 1, mem_dim)).astype(np.float32)
+        mem_pos = rng.standard_normal((M, 1, mem_dim)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(
+                current_vision_features=torch.from_numpy(x),
+                current_vision_position_embeddings=torch.from_numpy(x_pos),
+                memory=torch.from_numpy(mem),
+                memory_posision_embeddings=torch.from_numpy(mem_pos),
+                num_object_pointer_tokens=n_ptr,
+            )
+        ref = ref.reshape(S, 1, 64).permute(1, 0, 2).numpy()  # (1, S, 64)
+
+        params = convert_state_dict(
+            {("memory_attention." + k): to_np(v)
+             for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)["memory_attention"]
+        m = MemoryAttention(num_layers=2, d_model=64, kv_dim=mem_dim, mlp_dim=128)
+        # official cross-attn reads memory at kv_in_dim=64: the config
+        # hardcodes kv_in 64 == our mem_dim here
+        out = m.apply({"params": params},
+                      jnp.asarray(x.transpose(1, 0, 2)),
+                      jnp.asarray(x_pos.transpose(1, 0, 2)),
+                      jnp.asarray(mem.transpose(1, 0, 2)),
+                      jnp.asarray(mem_pos.transpose(1, 0, 2)),
+                      jnp.ones((1, M), bool))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    def test_memory_encoder_matches_hf(self, rng):
+        from transformers.models.sam2_video.modeling_sam2_video import (
+            Sam2VideoMemoryEncoder,
+        )
+        from videovanish_tpu.core.convert import HF_SAM2_RULES, SAM2_SPECIALS
+        from videovanish_tpu.models.sam2.memory import MemoryEncoder
+
+        cfg = self._video_config()
+        tm = Sam2VideoMemoryEncoder(cfg).eval()
+        gen = torch.Generator().manual_seed(0)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+
+        pix = rng.standard_normal((1, 4, 4, 64)).astype(np.float32)
+        mask = rng.standard_normal((1, 64, 64, 1)).astype(np.float32)
+        with torch.no_grad():
+            ref, _ = tm(torch.from_numpy(pix).permute(0, 3, 1, 2),
+                        torch.from_numpy(mask).permute(0, 3, 1, 2))
+        ref = ref.permute(0, 2, 3, 1).numpy()
+
+        params = convert_state_dict(
+            {("memory_encoder." + k): to_np(v)
+             for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)["memory_encoder"]
+        m = MemoryEncoder(d_model=64, mem_dim=16, fuser_intermediate=256)
+        out = m.apply({"params": params}, jnp.asarray(pix),
+                      jnp.asarray(mask))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)

@@ -178,6 +178,12 @@ SAM2_SPECIALS: list = [
      "positional_encoding_gaussian_matrix", t_identity),
     (r"\.point_embeddings$", "point_embeddings", t_identity),
     (r"\.(iou_token|mask_tokens|obj_score_token)$", None, t_identity),
+    # video-level parameter layouts
+    (r"^no_memory_embedding$", None, t_identity),          # (1, 1, d)
+    (r"^no_object_pointer$", None, lambda a: a.reshape(-1)),
+    (r"^occlusion_spatial_embedding$", None, lambda a: a.reshape(-1)),
+    (r"^maskmem_tpos_enc$", None,
+     lambda a: a.reshape(a.shape[0], a.shape[-1])),  # (n,1,1,m) -> (n,m)
 ]
 
 # HF transformers Sam2 (Sam2HieraDetModel / Sam2VideoModel) naming ->
@@ -218,6 +224,23 @@ HF_SAM2_RULES: list[tuple[str, str]] = [
     (r"\.conv_s0\.", ".conv_s4."),
     (r"\.conv_s1\.", ".conv_s8."),
     (r"\.(iou_token|mask_tokens|obj_score_token)\.weight$", r".\1"),
+    # memory attention / encoder (video model)
+    (r"^memory_attention\.layer_norm\.", "memory_attention.norm."),
+    (r"mask_downsampler\.layers\.(\d+)\.", r"mask_downsampler_layers_\1."),
+    (r"mask_downsampler\.final_conv\.", "mask_downsampler_final_conv."),
+    (r"memory_fuser\.layers\.(\d+)\.", r"memory_fuser_layers_\1."),
+    # video-level parameters
+    (r"^no_memory_embedding$", "no_memory_embedding"),
+    (r"^no_object_pointer$", "no_object_pointer"),
+    (r"^occlusion_spatial_embedding_parameter$",
+     "occlusion_spatial_embedding"),
+    (r"^memory_temporal_positional_encoding$", "maskmem_tpos_enc"),
+    (r"^temporal_positional_encoding_projection_layer\.",
+     "obj_ptr_tpos_proj."),
+    (r"^no_memory_positional_encoding$", None),  # sam2.1 adds the
+    # no-memory embedding directly; this buffer is unused
+    (r"^mask_downsample\.", None),   # mask-prompt path (unused surface)
+    (r"^shared_image_embedding\.", None),  # tied to prompt_encoder's
     # generic layer norms / MLPs (Hiera, memory attention)
     (r"\.layer_norm1\.", ".norm1."),
     (r"\.layer_norm2\.", ".norm2."),

@@ -220,12 +220,17 @@ class MaskDecoder(nn.Module):
                        name="iou_prediction_head")(iou_out)
         obj_score = MLP(C, 1, 3, dtype=self.dtype,
                         name="pred_obj_score_head")(obj_out)
-        obj_ptr = MLP(C, C, 3, dtype=self.dtype,
-                      name="obj_ptr_proj")(mask_out[:, 0])
+        # project EVERY mask token to a pointer; the caller selects the
+        # token matching its multimask choice (the official
+        # object_pointer_proj of the selected sam token — projection and
+        # selection commute since the MLP is per-token)
+        obj_ptrs = MLP(C, C, 3, dtype=self.dtype,
+                       name="obj_ptr_proj")(mask_out)
 
         return {
             "masks": masks,                      # (B, M, 4H, 4W) logits
             "iou": iou_pred.astype(jnp.float32),  # (B, M)
-            "obj_ptr": obj_ptr,                  # (B, C)
+            "obj_ptr": obj_ptrs[:, 0],           # (B, C) token-0 pointer
+            "obj_ptrs": obj_ptrs,                # (B, M, C) all tokens
             "obj_score": obj_score.astype(jnp.float32),  # (B, 1)
         }

@@ -53,7 +53,7 @@ class _BankMeta:
         self.num_maskmem = num_maskmem
         self.max_ptrs = max_ptrs
         self.slots: list = [None] * num_maskmem  # (frame_idx, is_cond)
-        self.ptr_frames: list = []
+        self.ptr_slot_frame: list = [None] * max_ptrs  # frame_idx per slot
         self.ptr_next = 0
 
     def choose_slot(self, frame_idx: int, is_cond: bool) -> int:
@@ -68,24 +68,46 @@ class _BankMeta:
         self.slots[i] = (frame_idx, is_cond)
         return i
 
-    def choose_ptr_slot(self) -> int:
+    def choose_ptr_slot(self, frame_idx: int) -> int:
         i = self.ptr_next % self.max_ptrs
         self.ptr_next += 1
-        if len(self.ptr_frames) < self.max_ptrs:
-            self.ptr_frames.append(i)
+        self.ptr_slot_frame[i] = frame_idx
         return i
 
     def valid_age(self, cur_frame: int):
+        """Official temporal-position semantics: conditioning slots use
+        tpos index num_maskmem-1 (relative offset 0); tracked slots at
+        temporal distance d in 1..num_maskmem-1 use index d-1; tracked
+        frames farther than num_maskmem-1 are NOT attended (the official
+        memory window)."""
         n = self.num_maskmem
-        valid = np.array([s is not None for s in self.slots], bool)
-        age = np.array([0 if s is None else min(n - 1, abs(cur_frame - s[0]))
-                        for s in self.slots], np.int32)
-        return valid, age
+        valid = np.zeros((n,), bool)
+        tpos = np.zeros((n,), np.int32)
+        for i, s in enumerate(self.slots):
+            if s is None:
+                continue
+            frame, is_cond = s
+            d = abs(cur_frame - frame)
+            if is_cond:
+                valid[i] = True
+                tpos[i] = n - 1
+            elif 1 <= d <= n - 1:
+                valid[i] = True
+                tpos[i] = d - 1
+        return valid, tpos
 
-    def ptr_valid(self):
+    def ptr_valid_tdiff(self, cur_frame: int, reverse: bool):
+        """Per-pointer-slot validity + signed temporal offsets (current
+        minus pointer frame, sign-flipped when tracking in reverse)."""
         v = np.zeros((self.max_ptrs,), bool)
-        v[:len(self.ptr_frames)] = True
-        return v
+        td = np.zeros((self.max_ptrs,), np.float32)
+        sign = -1.0 if reverse else 1.0
+        for i, f in enumerate(self.ptr_slot_frame):
+            if f is None:
+                continue
+            v[i] = True
+            td[i] = sign * float(cur_frame - f)
+        return v, td
 
 
 class Sam2VideoPredictor:
@@ -166,15 +188,30 @@ class Sam2VideoPredictor:
         me_p = init(
             lambda k: self.memory_encoder.init(
                 k, jnp.zeros((1, s16, s16, d), self.dtype),
-                jnp.zeros((1, s16 * 4, s16 * 4, 1), self.dtype)), ks[5])
+                jnp.zeros((1, cfg.image_size, cfg.image_size, 1),
+                          self.dtype)), ks[5])
 
-        # learned temporal position embedding per memory age + ptr embed
+        # learned temporal position embedding per memory age + the
+        # official video-level parameters (transformers Sam2VideoModel
+        # names in parentheses): no_memory_embedding, no_object_pointer,
+        # occlusion_spatial_embedding(_parameter), obj_ptr_tpos_proj
+        # (temporal_positional_encoding_projection_layer)
         tpos = jax.random.normal(ks[6], (cfg.num_maskmem, cfg.mem_dim),
                                  jnp.float32) * 0.02
+        k7, k8, k9 = jax.random.split(ks[7], 3)
         params = {
             "hiera": hiera_p, "neck": neck_p, "prompt_encoder": pe_p,
             "decoder": dec_p, "memory_attention": ma_p,
             "memory_encoder": me_p, "maskmem_tpos_enc": tpos,
+            "no_memory_embedding": jnp.zeros((1, 1, d), jnp.float32),
+            "no_object_pointer": jnp.zeros((d,), jnp.float32),
+            "occlusion_spatial_embedding": jnp.zeros((cfg.mem_dim,),
+                                                     jnp.float32),
+            "obj_ptr_tpos_proj": {
+                "kernel": jax.random.normal(
+                    k7, (d, cfg.mem_dim), jnp.float32) * (d ** -0.5),
+                "bias": jnp.zeros((cfg.mem_dim,), jnp.float32),
+            },
         }
         loaded = maybe_load(cfg.checkpoint, like=params)
         return loaded if loaded is not None else params
@@ -204,12 +241,14 @@ class Sam2VideoPredictor:
 
         @jax.jit
         def decode(params, f16, f4, f8, mem_feats, mem_valid, mem_age,
-                   ptr_feats, ptr_valid, points, labels):
+                   ptr_feats, ptr_valid, ptr_tdiff, points, labels):
             """Batched over objects (leading axis O).
             f16: (1, s16, s16, d) shared; mem_feats: (O, n, T16, mem)
+            ptr_tdiff: (O, max_ptrs) signed temporal offsets
             points: (O, MAX_POINTS, 2) px; labels: (O, MAX_POINTS)."""
             O = mem_feats.shape[0]
             n = cfg.num_maskmem
+            splits = d // cfg.mem_dim
 
             # memory kv: spatial slots + ptr tokens
             tpos = params["maskmem_tpos_enc"][mem_age]  # (O, n, mem)
@@ -218,9 +257,21 @@ class Sam2VideoPredictor:
             pos_sp = mem_pos_sp.reshape(O, n * self.tokens16, cfg.mem_dim)
             valid_sp = jnp.repeat(mem_valid, self.tokens16, axis=1)
 
+            # object-pointer temporal positions (official: 1D sine PE of
+            # the normalized signed offset, projected d -> mem_dim,
+            # repeated per pointer split)
+            max_ptrs = ptr_tdiff.shape[1]
+            tnorm = ptr_tdiff / jnp.float32(max(max_ptrs - 1, 1))
+            pe_dim = d // 2
+            dim_t = 10000.0 ** (2.0 * (jnp.arange(pe_dim) // 2) / pe_dim)
+            ang = tnorm[..., None] / dim_t  # (O, max_ptrs, d/2)
+            sine_pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)
+            proj = params["obj_ptr_tpos_proj"]
+            ptr_pos = sine_pe @ proj["kernel"] + proj["bias"]  # (O, P, mem)
+            ptr_pos = jnp.repeat(ptr_pos, splits, axis=1)
+
             kv = jnp.concatenate([kv_sp, ptr_feats], axis=1).astype(self.dtype)
-            pos = jnp.concatenate(
-                [pos_sp, jnp.zeros_like(ptr_feats)], axis=1)
+            pos = jnp.concatenate([pos_sp, ptr_pos], axis=1)
             valid = jnp.concatenate([valid_sp, ptr_valid], axis=1)
 
             x = jnp.broadcast_to(f16.reshape(1, self.tokens16, d),
@@ -229,8 +280,10 @@ class Sam2VideoPredictor:
             cond = self.memory_attention.apply(
                 {"params": params["memory_attention"]},
                 x, pos16.reshape(1, self.tokens16, d), kv, pos, valid)
-            # frames with no memory yet (first prompt) skip conditioning
-            x = jnp.where(any_mem[..., None], cond, x)
+            # initial conditioning frame (no memory yet): the official
+            # model adds a learned no-memory embedding instead
+            no_mem = x + params["no_memory_embedding"].astype(x.dtype)
+            x = jnp.where(any_mem[..., None], cond, no_mem)
             x = x.reshape(O, s16, s16, d)
 
             sparse, no_mask = self.prompt_encoder.apply(
@@ -259,32 +312,67 @@ class Sam2VideoPredictor:
                 jnp.broadcast_to(f8, (O,) + f8.shape[1:]),
                 sparse_valid=sparse_valid)
 
-            # pick best mask by predicted IoU
-            best = jnp.argmax(out["iou"], axis=-1)  # (O,)
+            # official mask selection (_use_multimask / _forward_sam_heads):
+            # multimask (best of slots 1..3 by IoU) when the frame has at
+            # most 1 click; single mask (slot 0) otherwise; masks forced
+            # to NO_OBJ_SCORE when the object is predicted absent
+            NO_OBJ_SCORE = -1024.0
+            n_pts = jnp.sum(labels >= 0, axis=1)  # (O,)
+            multi = n_pts <= 1
+            best_multi = jnp.argmax(out["iou"][:, 1:], axis=-1) + 1
+            best = jnp.where(multi, best_multi, 0)  # (O,)
+            masks_all = out["masks"]
+            obj_appearing = out["obj_score"][:, 0] > 0  # (O,)
+            masks_all = jnp.where(obj_appearing[:, None, None, None],
+                                  masks_all, NO_OBJ_SCORE)
             masks = jnp.take_along_axis(
-                out["masks"], best[:, None, None, None], axis=1)[:, 0]
+                masks_all, best[:, None, None, None], axis=1)[:, 0]
+            # occlusion-aware object pointer: lambda*ptr + (1-lambda)*no_ptr
+            ptr_sel = jnp.take_along_axis(
+                out["obj_ptrs"], best[:, None, None], axis=1)[:, 0]
+            lam = obj_appearing.astype(ptr_sel.dtype)[:, None]
+            obj_ptr = lam * ptr_sel + \
+                (1.0 - lam) * params["no_object_pointer"].astype(ptr_sel.dtype)
             # low-res logits at stride 4 -> full video resolution
             logits_full = resize_bilinear(masks[..., None], H0, W0)[..., 0]
-            return masks[..., None], logits_full, out["obj_ptr"], x
+            return (masks[..., None], logits_full, obj_ptr, x,
+                    out["obj_score"])
 
         @jax.jit
         def step(params, f16, f4, f8, bank_feats, mem_valid, mem_age,
-                 bank_ptrs, ptr_valid_tok, points, labels,
-                 write_slot, ptr_slot):
+                 bank_ptrs, ptr_valid_tok, ptr_tdiff, points, labels,
+                 write_slot, ptr_slot, binarize):
             """Fused per-frame propagation step: decode + memory-encode +
             in-place (device-side) bank update. Everything but the output
             logits stays on device — one dispatch per frame.
 
             write_slot/ptr_slot: int32 scalars (slot occupancy is shared
-            across objects since all objects see the same frames)."""
-            masks_s4, logits_full, obj_ptr, cond_f16 = decode(
+            across objects since all objects see the same frames);
+            binarize: bool scalar — prompted frames store a hard mask in
+            memory (official is_mask_from_pts)."""
+            masks_s4, logits_full, obj_ptr, cond_f16, obj_score = decode(
                 params, f16, f4, f8, bank_feats, mem_valid, mem_age,
-                bank_ptrs, ptr_valid_tok, points, labels)
+                bank_ptrs, ptr_valid_tok, ptr_tdiff, points, labels)
+
+            # official _encode_new_memory: image-resolution mask,
+            # binarized on prompted frames else sigmoid, then scaled
+            # (sigmoid_scale 20, bias -10) before the mask downsampler
+            S = cfg.image_size
+            m_hi = resize_bilinear(masks_s4, S, S)  # (O, S, S, 1) logits
+            m_soft = jax.nn.sigmoid(m_hi)
+            m_hard = (m_hi > 0).astype(jnp.float32)
+            mask_for_mem = jnp.where(binarize, m_hard, m_soft) * 20.0 - 10.0
 
             new_feat = self.memory_encoder.apply(
                 {"params": params["memory_encoder"]},
-                cond_f16, masks_s4.astype(self.dtype)
-            ).astype(jnp.float32).reshape(-1, self.tokens16, cfg.mem_dim)
+                cond_f16, mask_for_mem.astype(self.dtype)
+            ).astype(jnp.float32)
+            # occluded frames: add the learned no-object spatial embedding
+            occl = params["occlusion_spatial_embedding"].astype(jnp.float32)
+            not_appearing = (obj_score[:, 0] <= 0).astype(jnp.float32)
+            new_feat = new_feat + \
+                not_appearing[:, None, None, None] * occl[None, None, None]
+            new_feat = new_feat.reshape(-1, self.tokens16, cfg.mem_dim)
 
             feats_next = jax.lax.dynamic_update_slice(
                 bank_feats, new_feat[:, None], (0, write_slot, 0, 0))
@@ -405,15 +493,18 @@ class Sam2VideoPredictor:
                 labels[oi, :n] = np.asarray(e["labels"][:n], np.int32)
         return points, labels
 
-    def _meta_arrays(self, meta: "_BankMeta", cur_frame: int, O: int):
+    def _meta_arrays(self, meta: "_BankMeta", cur_frame: int, O: int,
+                     reverse: bool = False):
         """Broadcast shared occupancy metadata to per-object arrays."""
         splits = self.cfg.neck_d_model // self.cfg.mem_dim
         valid, age = meta.valid_age(cur_frame)
-        pvalid_tok = np.repeat(meta.ptr_valid(), splits)
-        return (jnp.asarray(np.broadcast_to(valid, (O,) + valid.shape)),
-                jnp.asarray(np.broadcast_to(age, (O,) + age.shape)),
-                jnp.asarray(np.broadcast_to(pvalid_tok,
-                                            (O,) + pvalid_tok.shape)))
+        pvalid, tdiff = meta.ptr_valid_tdiff(cur_frame, reverse)
+        pvalid_tok = np.repeat(pvalid, splits)
+
+        def bc(a):
+            return jnp.asarray(np.broadcast_to(a, (O,) + a.shape))
+
+        return bc(valid), bc(age), bc(pvalid_tok), bc(tdiff)
 
     def _predict_prompt_frame(self, state, frame_idx):
         """Memoryless single-frame decode for interactive feedback."""
@@ -423,11 +514,11 @@ class Sam2VideoPredictor:
         feats, ptrs = self._empty_device_bank(O)
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
-        valid, age, pvalid = self._meta_arrays(meta, frame_idx, O)
+        valid, age, pvalid, tdiff = self._meta_arrays(meta, frame_idx, O)
         points, labels = self._prompt_arrays(state, frame_idx)
-        _, logits_full, _, _ = decode(
+        _, logits_full, _, _, _ = decode(
             self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
-            jnp.asarray(points), jnp.asarray(labels))
+            tdiff, jnp.asarray(points), jnp.asarray(labels))
         return np.asarray(logits_full)
 
     def propagate_in_video(self, inference_state, start_frame_idx=None,
@@ -462,18 +553,20 @@ class Sam2VideoPredictor:
             f4, f8, f16 = self._encode_frame(state, t)
             is_cond = t in state["prompts"]
             # memory validity/ages from occupancy BEFORE this frame writes
-            valid, age, pvalid = self._meta_arrays(meta, t, O)
+            valid, age, pvalid, tdiff = self._meta_arrays(
+                meta, t, O, reverse=reverse)
             if is_cond:
                 points, labels = self._prompt_arrays(state, t)
             else:
                 points = np.zeros((O, MAX_POINTS, 2), np.float32)
                 labels = np.full((O, MAX_POINTS), -1, np.int32)
             write_slot = meta.choose_slot(t, is_cond)
-            ptr_slot = meta.choose_ptr_slot()
+            ptr_slot = meta.choose_ptr_slot(t)
             logits_full, feats, ptrs = step(
                 self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
-                jnp.asarray(points), jnp.asarray(labels),
-                jnp.int32(write_slot), jnp.int32(ptr_slot))
+                tdiff, jnp.asarray(points), jnp.asarray(labels),
+                jnp.int32(write_slot), jnp.int32(ptr_slot),
+                jnp.bool_(is_cond))
 
             logits = np.asarray(logits_full)  # (O, H0, W0)
             yield t, obj_ids, [logits[i] for i in range(O)]

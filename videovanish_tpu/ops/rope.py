@@ -17,7 +17,9 @@ import jax.numpy as jnp
 def axial_rope_tables(side_y: int, side_x: int, head_dim: int,
                       theta: float = 10000.0):
     """(sin, cos) tables of shape (side_y*side_x, head_dim//2) for a
-    flattened row-major (y, x) grid."""
+    flattened row-major (y, x) grid. Matches the official SAM2 axial
+    RoPE exactly: x (column) frequencies occupy the FIRST half of the
+    rotated dim, y (row) frequencies the second half."""
     assert head_dim % 4 == 0, head_dim
     quarter = head_dim // 4
     freqs = theta ** (-np.arange(quarter, dtype=np.float64) / quarter)
@@ -26,8 +28,8 @@ def axial_rope_tables(side_y: int, side_x: int, head_dim: int,
     ang_y = ys[:, None] * freqs[None]                      # (Sy, q)
     ang_x = xs[:, None] * freqs[None]                      # (Sx, q)
     ang = np.concatenate([
-        np.broadcast_to(ang_y[:, None, :], (side_y, side_x, quarter)),
         np.broadcast_to(ang_x[None, :, :], (side_y, side_x, quarter)),
+        np.broadcast_to(ang_y[:, None, :], (side_y, side_x, quarter)),
     ], axis=-1).reshape(side_y * side_x, head_dim // 2)
     return (np.sin(ang).astype(np.float32),
             np.cos(ang).astype(np.float32))
