@@ -479,3 +479,121 @@ class TestSam2MemoryParityHF:
         out = m.apply({"params": params}, jnp.asarray(pix),
                       jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+class TestSam2VideoEndToEndParityHF:
+    """Full streaming video predictor vs transformers Sam2VideoModel:
+    prompt on frame 0, propagate through the clip, compare per-frame mask
+    logits. Exercises Hiera, neck, prompts, decoder, memory attention,
+    memory encoder, temporal/pointer encodings and occlusion handling in
+    one pass — the architecture gate for sam2.1 checkpoint fidelity."""
+
+    def test_propagation_matches_hf(self, rng):
+        from transformers.models.sam2.configuration_sam2 import (
+            Sam2HieraDetConfig,
+        )
+        from transformers.models.sam2.configuration_sam2 import (
+            Sam2VisionConfig,
+        )
+        from transformers.models.sam2_video.configuration_sam2_video import (
+            Sam2VideoConfig, Sam2VideoMaskDecoderConfig,
+            Sam2VideoPromptEncoderConfig,
+        )
+        from transformers.models.sam2_video.modeling_sam2_video import (
+            Sam2VideoInferenceSession, Sam2VideoModel,
+        )
+        from videovanish_tpu.config import Sam2Config
+        from videovanish_tpu.core.convert import (
+            HF_SAM2_RULES, SAM2_SPECIALS, convert_state_dict,
+        )
+        from videovanish_tpu.models.sam2.predictor import Sam2VideoPredictor
+
+        bb = Sam2HieraDetConfig(
+            hidden_size=32, blocks_per_stage=[1, 2, 2, 1],
+            embed_dim_per_stage=[32, 64, 128, 256],
+            num_attention_heads_per_stage=[1, 2, 4, 8],
+            window_size_per_stage=[8, 4, 14, 7],
+            global_attention_blocks=[4], image_size=[128, 128])
+        # mem_dim (64, hardcoded in the official cross-attention) must be
+        # SMALLER than the hidden size to exercise the pointer-splitting
+        # path real checkpoints use, so the tiny oracle runs at hidden 128
+        vis = Sam2VisionConfig(
+            backbone_config=bb, fpn_hidden_size=128,
+            backbone_channel_list=[256, 128, 64, 32],
+            backbone_feature_sizes=[[32, 32], [16, 16], [8, 8]])
+        cfg = Sam2VideoConfig(
+            vision_config=vis,
+            prompt_encoder_config=Sam2VideoPromptEncoderConfig(
+                hidden_size=128, image_size=128, patch_size=16),
+            mask_decoder_config=Sam2VideoMaskDecoderConfig(
+                hidden_size=128, mlp_dim=1024, iou_head_hidden_dim=128),
+            image_size=128,
+            num_maskmem=7,
+            max_object_pointers_in_encoder=4,
+            memory_attention_hidden_size=128,
+            memory_attention_num_layers=2,
+            memory_attention_feed_forward_hidden_size=2048,
+            memory_attention_rope_feat_sizes=[8, 8],
+            memory_encoder_hidden_size=128,
+            memory_encoder_output_channels=64,
+            memory_fuser_embed_dim=128,
+            memory_fuser_intermediate_dim=1024,
+            mask_downsampler_embed_dim=128,
+        )
+        tm = Sam2VideoModel(cfg).eval()
+        gen = torch.Generator().manual_seed(3)
+        with torch.no_grad():
+            for p in tm.parameters():
+                p.normal_(0.0, 0.02, generator=gen)
+            tm._tie_weights()
+
+        T = 5
+        frames_u8 = (rng.random((T, 128, 128, 3)) * 255).astype(np.uint8)
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        video = (frames_u8.astype(np.float32) / 255.0 - mean) / std
+        video_t = torch.from_numpy(video).permute(0, 3, 1, 2)
+
+        session = Sam2VideoInferenceSession(
+            video=video_t, video_height=128, video_width=128,
+            dtype=torch.float32)
+        obj_idx = session.obj_id_to_idx(1)
+        pts = np.array([[[[40.0, 60.0]]]], np.float32)  # (1,1,1,2)
+        labs = np.array([[[1]]], np.int64)
+        session.add_point_inputs(
+            obj_idx, 0, {"point_coords": torch.from_numpy(pts),
+                         "point_labels": torch.from_numpy(labs)})
+        session.obj_with_new_inputs.append(1)  # the processor's job
+        with torch.no_grad():
+            tm(inference_session=session, frame_idx=0)
+            refs = {}
+            for out in tm.propagate_in_video_iterator(
+                    session, start_frame_idx=0):
+                low = out.pred_masks.float()  # (1, 1, 32, 32)
+                hi = torch.nn.functional.interpolate(
+                    low, size=(128, 128), mode="bilinear",
+                    align_corners=False)
+                refs[out.frame_idx] = hi[0, 0].numpy()
+
+        params = convert_state_dict(
+            {k: to_np(v) for k, v in tm.state_dict().items()},
+            HF_SAM2_RULES, special=SAM2_SPECIALS)
+        ours_cfg = Sam2Config(
+            image_size=128, hiera_embed_dim=32, hiera_stages=(1, 2, 2, 1),
+            hiera_window_spec=(8, 4, 14, 7), hiera_global_att_blocks=(4,),
+            backbone_channel_list=(256, 128, 64, 32), neck_d_model=128,
+            mem_dim=64, num_maskmem=7, max_obj_ptrs_in_encoder=4,
+            memory_attention_layers=2, memory_attention_d_model=128)
+        pred = Sam2VideoPredictor(config=ours_cfg, params=params)
+        state = pred.init_state(list(frames_u8))
+        pred.add_new_points_or_box(state, 0, 1,
+                                   points=[[40.0, 60.0]], labels=[1])
+        got = {}
+        for fidx, obj_ids, logits in pred.propagate_in_video(state):
+            got[fidx] = logits[0]
+
+        assert set(got) == set(refs)
+        for fidx in sorted(refs):
+            np.testing.assert_allclose(
+                got[fidx], refs[fidx], atol=5e-3,
+                err_msg=f"frame {fidx}")

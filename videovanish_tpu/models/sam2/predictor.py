@@ -68,10 +68,25 @@ class _BankMeta:
         self.slots[i] = (frame_idx, is_cond)
         return i
 
-    def choose_ptr_slot(self, frame_idx: int) -> int:
-        i = self.ptr_next % self.max_ptrs
+    def choose_ptr_slot(self, frame_idx: int, is_cond: bool = False) -> int:
+        """Conditioning-frame pointers are pinned (the official model
+        keeps them for the whole video); tracked-frame pointers ring-evict
+        among the remaining slots."""
+        slots = self.ptr_slot_frame
+        if is_cond:
+            for i, s in enumerate(slots):
+                if s is None or not s[1]:
+                    slots[i] = (frame_idx, True)
+                    return i
+            slots[0] = (frame_idx, True)
+            return 0
+        order = [i for i in range(self.max_ptrs)
+                 if slots[i] is None or not slots[i][1]]
+        if not order:  # all pinned: overwrite the oldest cond
+            order = list(range(self.max_ptrs))
+        i = order[self.ptr_next % len(order)]
         self.ptr_next += 1
-        self.ptr_slot_frame[i] = frame_idx
+        slots[i] = (frame_idx, False)
         return i
 
     def valid_age(self, cur_frame: int):
@@ -96,17 +111,30 @@ class _BankMeta:
                 tpos[i] = d - 1
         return valid, tpos
 
-    def ptr_valid_tdiff(self, cur_frame: int, reverse: bool):
-        """Per-pointer-slot validity + signed temporal offsets (current
-        minus pointer frame, sign-flipped when tracking in reverse)."""
+    def ptr_valid_tdiff(self, cur_frame: int, reverse: bool,
+                        num_total_frames: int):
+        """Per-pointer-slot validity + NORMALIZED signed temporal offsets,
+        matching the official _get_object_pointers: conditioning-frame
+        pointers from the past (w.r.t. tracking direction) at any offset;
+        tracked-frame pointers only within max_object_pointers_to_use - 1;
+        offsets normalized by (max_object_pointers_to_use - 1)."""
+        max_use = min(num_total_frames, self.max_ptrs) \
+            if num_total_frames else self.max_ptrs
         v = np.zeros((self.max_ptrs,), bool)
         td = np.zeros((self.max_ptrs,), np.float32)
         sign = -1.0 if reverse else 1.0
-        for i, f in enumerate(self.ptr_slot_frame):
-            if f is None:
+        for i, s in enumerate(self.ptr_slot_frame):
+            if s is None:
                 continue
-            v[i] = True
-            td[i] = sign * float(cur_frame - f)
+            frame, is_cond = s
+            diff = sign * float(cur_frame - frame)
+            if is_cond:
+                ok = diff >= 0  # past-only during eval
+            else:
+                ok = 1 <= diff <= max_use - 1
+            if ok:
+                v[i] = True
+                td[i] = diff / max(max_use - 1, 1)
         return v, td
 
 
@@ -260,8 +288,7 @@ class Sam2VideoPredictor:
             # object-pointer temporal positions (official: 1D sine PE of
             # the normalized signed offset, projected d -> mem_dim,
             # repeated per pointer split)
-            max_ptrs = ptr_tdiff.shape[1]
-            tnorm = ptr_tdiff / jnp.float32(max(max_ptrs - 1, 1))
+            tnorm = ptr_tdiff  # pre-normalized on host (official rule)
             pe_dim = d // 2
             dim_t = 10000.0 ** (2.0 * (jnp.arange(pe_dim) // 2) / pe_dim)
             ang = tnorm[..., None] / dim_t  # (O, max_ptrs, d/2)
@@ -494,11 +521,12 @@ class Sam2VideoPredictor:
         return points, labels
 
     def _meta_arrays(self, meta: "_BankMeta", cur_frame: int, O: int,
-                     reverse: bool = False):
+                     reverse: bool = False, num_total_frames: int = 0):
         """Broadcast shared occupancy metadata to per-object arrays."""
         splits = self.cfg.neck_d_model // self.cfg.mem_dim
         valid, age = meta.valid_age(cur_frame)
-        pvalid, tdiff = meta.ptr_valid_tdiff(cur_frame, reverse)
+        pvalid, tdiff = meta.ptr_valid_tdiff(cur_frame, reverse,
+                                             num_total_frames)
         pvalid_tok = np.repeat(pvalid, splits)
 
         def bc(a):
@@ -554,14 +582,14 @@ class Sam2VideoPredictor:
             is_cond = t in state["prompts"]
             # memory validity/ages from occupancy BEFORE this frame writes
             valid, age, pvalid, tdiff = self._meta_arrays(
-                meta, t, O, reverse=reverse)
+                meta, t, O, reverse=reverse, num_total_frames=T)
             if is_cond:
                 points, labels = self._prompt_arrays(state, t)
             else:
                 points = np.zeros((O, MAX_POINTS, 2), np.float32)
                 labels = np.full((O, MAX_POINTS), -1, np.int32)
             write_slot = meta.choose_slot(t, is_cond)
-            ptr_slot = meta.choose_ptr_slot(t)
+            ptr_slot = meta.choose_ptr_slot(t, is_cond)
             logits_full, feats, ptrs = step(
                 self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
                 tdiff, jnp.asarray(points), jnp.asarray(labels),
