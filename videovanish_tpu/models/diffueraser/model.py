@@ -59,17 +59,6 @@ def _host_resize_nearest_2d(masks: np.ndarray, h: int, w: int) -> np.ndarray:
     return masks[:, ys[:, None], xs[None, :]]
 
 
-@functools.partial(jax.jit, static_argnames=("h8", "w8"))
-def _stage_on_device(x_u8, m_u8, h8: int, w8: int):
-    """uint8 frames/mask -> f32 frames in [0,1], f32 mask, latent-res mask.
-    Runs on device so only uint8 crosses the host link."""
-    x = x_u8.astype(jnp.float32) / 255.0
-    m = m_u8 > 0
-    m_f = m.astype(jnp.float32)[..., None]
-    m_lat = resize_nearest_2d(m.astype(jnp.uint8), h8, w8)
-    return x, m_f, m_lat.astype(jnp.float32)[..., None]
-
-
 def make_window_plan(n_frames: int, clip_len: int, overlap: int):
     """Static list of (start, length) windows covering [0, n_frames) with
     `overlap` shared frames between neighbors. Pure python (shape planning)."""
@@ -245,6 +234,21 @@ class DiffuEraser:
             return vae.apply({"params": params["vae"]}, x,
                              method=vae.encode) * scale
 
+        def encode_masked_u8(params, x_u8, m_u8):
+            """uint8 frame/mask chunk -> (masked latents, latent-res mask).
+            Normalization/masking fused on device so only uint8 crosses
+            the host link; per-chunk so uploads overlap earlier chunks'
+            encodes."""
+            x = x_u8.astype(jnp.float32) / 255.0
+            m_f = (m_u8 > 0).astype(jnp.float32)[..., None]
+            lat = encode(params, x * (1.0 - m_f))
+            h8c, w8c = x.shape[1] // 8, x.shape[2] // 8
+            m_lat = resize_nearest_2d(m_u8, h8c, w8c)
+            return lat, (m_lat > 0).astype(jnp.float32)[..., None]
+
+        def encode_u8(params, x_u8):
+            return encode(params, x_u8.astype(jnp.float32) / 255.0)
+
         def decode(params, z):
             """Latents -> RGB uint8 (uint8 on device: 4x fewer bytes over
             the host link than f32)."""
@@ -291,7 +295,8 @@ class DiffuEraser:
         denoise_window = jax.jit(denoise_window)
         decode = jax.jit(decode)
 
-        fns = (encode, denoise_window, decode)
+        fns = (encode, encode_masked_u8, encode_u8,
+               denoise_window, decode)
         self._jit_cache[t_frames] = fns
         return fns
 
@@ -339,42 +344,45 @@ class DiffuEraser:
         if (H0, W0) != (h, w):
             frames = _host_resize_bilinear_u8(frames, h, w)
             masks = _host_resize_nearest_2d(masks, h, w)
-        x_u8 = jnp.asarray(frames)                    # (T,h,w,3) uint8
-        m_u8 = jnp.asarray(masks)                     # (T,h,w) uint8 0/1
-        x, m_f, m_lat = _stage_on_device(x_u8, m_u8, h8, w8)
 
         if prior_frames is not None:
             pf = np.stack([np.asarray(f) for f in prior_frames])
             if pf.shape[1:3] != (h, w):
                 pf = _host_resize_bilinear_u8(pf, h, w)
-            p = jnp.asarray(pf).astype(jnp.float32) / 255.0
         else:
-            p = None  # no prior: prior latents == masked-input latents
+            pf = None  # no prior: prior latents == masked-input latents
 
         clip_len = min(cfg.clip_length, T)
-        encode, denoise_window, decode = self._get_jitted(clip_len)
-
-        def batched(fn, arr, chunk=8):
-            """Apply fn in fixed-size sub-batches (pad tail) to bound VAE
-            activation memory at high resolutions."""
-            n = arr.shape[0]
-            if n <= chunk:
-                return fn(self.params, arr)
-            pad = (-n) % chunk
-            if pad:
-                arr = jnp.concatenate([arr, arr[-1:].repeat(pad, 0)], 0)
-            outs = [fn(self.params, arr[i:i + chunk])
-                    for i in range(0, arr.shape[0], chunk)]
-            return jnp.concatenate(outs, 0)[:n]
+        (encode, encode_masked_u8, encode_u8, denoise_window, decode) = \
+            self._get_jitted(clip_len)
 
         prog(5, "VAE-encoding frames")
-        masked = x * (1.0 - m_f)
-        if p is None:
-            # prior == masked input -> encode once, reuse (halves encode)
-            masked_lat = prior_lat = batched(encode, masked)
-        else:
-            both = batched(encode, jnp.concatenate([masked, p], axis=0))
-            masked_lat, prior_lat = both[:T], both[T:]
+        # upload + encode in uint8 sub-batches: chunk i+1's host->device
+        # transfer rides the tunnel while chunk i encodes, and VAE
+        # activation memory stays bounded at high resolutions
+        chunk = 8
+        pad = (-T) % chunk
+        fr_p = np.concatenate([frames, frames[-1:].repeat(pad, 0)], 0) \
+            if pad else frames
+        mk_p = np.concatenate([masks, masks[-1:].repeat(pad, 0)], 0) \
+            if pad else masks
+        pf_p = None if pf is None else (np.concatenate(
+            [pf, pf[-1:].repeat(pad, 0)], 0) if pad else pf)
+        lat_c, mlat_c, prior_c = [], [], []
+        for i in range(0, fr_p.shape[0], chunk):
+            lat, mlat = encode_masked_u8(
+                self.params, jnp.asarray(fr_p[i:i + chunk]),
+                jnp.asarray(mk_p[i:i + chunk]))
+            lat_c.append(lat)
+            mlat_c.append(mlat)
+            if pf_p is not None:
+                prior_c.append(encode_u8(
+                    self.params, jnp.asarray(pf_p[i:i + chunk])))
+        masked_lat = jnp.concatenate(lat_c, 0)[:T]
+        m_lat = jnp.concatenate(mlat_c, 0)[:T]
+        # prior == masked input when absent -> encode once, reuse
+        prior_lat = jnp.concatenate(prior_c, 0)[:T] if prior_c \
+            else masked_lat
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),
@@ -402,6 +410,38 @@ class DiffuEraser:
         else:
             def put(a):
                 return a
+        # Stream the pipeline: as soon as a frame's last covering window
+        # has been blended it is decoded and its device->host fetch starts
+        # asynchronously, so the ~25 MB/s tunnel transfer of finished
+        # frames hides behind the denoise of later windows.
+        chunk = 8
+        chunks = []
+        decoded_upto = 0
+
+        def decode_final(upto):
+            """Decode finalized frames [decoded_upto, upto) in sub-batches
+            and kick off their async host fetch."""
+            nonlocal decoded_upto
+            while decoded_upto < upto:
+                i = decoded_upto
+                n = min(chunk, T - i)
+                if n < chunk and T >= chunk:
+                    # keep one static decode shape: shift the window back
+                    if upto < T:
+                        break  # wait for more finalized frames
+                    i = T - chunk
+                    n = chunk
+                z_c = jax.lax.dynamic_slice_in_dim(
+                    acc, i, min(chunk, T)) / jax.lax.dynamic_slice_in_dim(
+                        wsum, i, min(chunk, T))
+                u8 = decode(self.params, z_c)
+                try:
+                    u8.copy_to_host_async()
+                except Exception:
+                    pass
+                chunks.append((decoded_upto, i, u8))
+                decoded_upto = min(i + n, upto)
+
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
                  f"denoising window {wi + 1}/{len(plan)}")
@@ -420,28 +460,18 @@ class DiffuEraser:
                 acc, jax.lax.dynamic_slice_in_dim(acc, s, L) + bwj * z, s, axis=0)
             wsum = jax.lax.dynamic_update_slice_in_dim(
                 wsum, jax.lax.dynamic_slice_in_dim(wsum, s, L) + bwj, s, axis=0)
+            # frames before the next window's start are final now
+            final_upto = plan[wi + 1][0] if wi + 1 < len(plan) else T
+            decode_final(final_upto)
 
-        z_final = acc / wsum
         prog(85, "VAE-decoding frames")
-        # decode in sub-batches, overlapping the device->host fetch of
-        # chunk i with the decode of chunk i+1 (the ~25 MB/s tunnel makes
-        # the fetch comparable to the decode itself)
-        chunk = 8
-        chunks = []
-        for i in range(0, T, chunk):
-            z_c = jax.lax.dynamic_slice_in_dim(
-                z_final, min(i, max(T - chunk, 0)), min(chunk, T))
-            u8 = decode(self.params, z_c)
-            try:
-                u8.copy_to_host_async()
-            except Exception:
-                pass
-            chunks.append((i, u8))
         out = np.empty((T, h, w, 3), np.uint8)
-        for i, u8 in chunks:
+        for start, i, u8 in chunks:
             arr = np.asarray(u8)
-            out[i:i + chunk] = arr[-(min(chunk, T - i)):] \
-                if i + chunk > T else arr
+            # the decode batch covers [i, i+chunk); frames before `start`
+            # in it were already written by an earlier chunk
+            end = min(i + chunk, T)
+            out[start:end] = arr[start - i:end - i]
         prog(100, "diffusion inpainting done")
         return [out[i] for i in range(T)]
 

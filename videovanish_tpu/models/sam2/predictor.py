@@ -550,10 +550,16 @@ class Sam2VideoPredictor:
         return np.asarray(logits_full)
 
     def propagate_in_video(self, inference_state, start_frame_idx=None,
-                           max_frame_num_to_track=None, reverse=False):
+                           max_frame_num_to_track=None, reverse=False,
+                           yield_binary: bool = False):
         """Yield (frame_idx, obj_ids, mask_logits) streaming through the
         video from the first prompted frame (reference consumption at
-        sam2_masker.py:143-147)."""
+        sam2_masker.py:143-147).
+
+        yield_binary: yield uint8 0/1 masks (logits > 0 computed on
+        device) instead of f32 logits — 4x fewer bytes over the host
+        link; the pipeline layer uses this since it thresholds at 0
+        anyway (sam2_masker.py:145)."""
         state = inference_state
         obj_ids = list(state["obj_ids"])
         O = len(obj_ids)
@@ -577,6 +583,7 @@ class Sam2VideoPredictor:
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
 
+        pending = None  # one-frame fetch lookahead
         for t in frame_order:
             f4, f8, f16 = self._encode_frame(state, t)
             is_cond = t in state["prompts"]
@@ -596,8 +603,21 @@ class Sam2VideoPredictor:
                 jnp.int32(write_slot), jnp.int32(ptr_slot),
                 jnp.bool_(is_cond))
 
-            logits = np.asarray(logits_full)  # (O, H0, W0)
-            yield t, obj_ids, [logits[i] for i in range(O)]
+            dev = (logits_full > 0.0).astype(jnp.uint8) if yield_binary \
+                else logits_full
+            try:  # overlap this frame's host fetch with the next frame's
+                dev.copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                pt, parr = pending
+                arr = np.asarray(parr)
+                yield pt, obj_ids, [arr[i] for i in range(O)]
+            pending = (t, dev)
+        if pending is not None:
+            pt, parr = pending
+            arr = np.asarray(parr)
+            yield pt, obj_ids, [arr[i] for i in range(O)]
 
 
 def build_sam2_video_predictor(config_file=None, ckpt_path=None, device=None,

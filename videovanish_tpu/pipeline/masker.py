@@ -103,10 +103,13 @@ def run_sam2_on_frames(frames_rgb, annotations, device=None, prog=None):
 
     prog(45, "Infering masks with sam2")
     video_segments = {}
-    for out_frame_idx, out_obj_ids, out_mask_logits in \
-            pred.propagate_in_video(state):
+    # binary masks thresholded on device: 4x fewer bytes per frame over
+    # the host link than f32 logits (same >0 threshold as the reference,
+    # sam2_masker.py:145)
+    for out_frame_idx, out_obj_ids, out_masks in \
+            pred.propagate_in_video(state, yield_binary=True):
         video_segments[out_frame_idx] = {
-            int(obj_id): np.asarray(out_mask_logits[i] > 0.0)
+            int(obj_id): np.asarray(out_masks[i] > 0)
             for i, obj_id in enumerate(out_obj_ids)
         }
 
