@@ -160,7 +160,9 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     if block_q is None:
         block_q = max(256, min(1024, (128 * 1024) // Dp))
     if block_k is None:
-        block_k = block_q
+        # wider KV blocks amortize the per-block m/l/acc corrections
+        # (measured ~5% at SD spatial-attention shapes); cap by VMEM
+        block_k = min(2 * block_q, (256 * 1024) // Dp)
     bq = min(block_q, _round_up(Sq, 8))
     bk = min(block_k, _round_up(Sk, 128))
     Sqp = _round_up(Sq, bq)
