@@ -258,8 +258,14 @@ class Sam2VideoPredictor:
                 self.tokens16, cfg.mem_dim)
 
         @jax.jit
-        def encode_image(params, img01):
-            """img01: (1, S, S, 3) in [0,1] -> (s4, s8, s16) @ d channels."""
+        def encode_image(params, img_u8):
+            """img_u8: (1, H0, W0, 3) uint8 -> (s4, s8, s16) @ d channels.
+            Resize to the model square + imagenet normalization run on
+            device so only uint8 crosses the host link."""
+            img01 = img_u8.astype(jnp.float32) / 255.0
+            if img01.shape[1:3] != (cfg.image_size, cfg.image_size):
+                img01 = resize_bilinear(img01, cfg.image_size,
+                                        cfg.image_size)
             x = (img01 - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
             feats = self.hiera.apply({"params": params["hiera"]},
                                      x.astype(self.dtype))
@@ -495,12 +501,11 @@ class Sam2VideoPredictor:
         cache = state["feat_cache"]
         if frame_idx in cache:
             return cache[frame_idx]
-        S = self.cfg.image_size
         f = state["frames"][frame_idx]
-        img = jnp.asarray(f, jnp.float32)[None] / 255.0
-        img = resize_bilinear(img, S, S)
         encode_image, _, _ = self._fns(state["H0"], state["W0"])
-        feats = encode_image(self.params, img)
+        # ship uint8 (the host link is the bottleneck: 4x fewer bytes
+        # than f32); normalize + resize on device inside encode_image
+        feats = encode_image(self.params, jnp.asarray(f)[None])
         if frame_idx in state["prompts"]:
             cache[frame_idx] = feats
         return feats
