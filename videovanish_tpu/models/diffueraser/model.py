@@ -357,9 +357,11 @@ class DiffuEraser:
             self._get_jitted(clip_len)
 
         prog(5, "VAE-encoding frames")
-        # upload + encode in uint8 sub-batches: chunk i+1's host->device
-        # transfer rides the tunnel while chunk i encodes, and VAE
-        # activation memory stays bounded at high resolutions
+        # upload + encode in uint8 sub-batches, LAZILY per window: only
+        # the first window's frames are needed before denoising starts;
+        # later chunks' host->device transfers ride the tunnel while the
+        # device is busy denoising earlier windows. VAE activation memory
+        # stays bounded by the sub-batch size at high resolutions.
         chunk = 8
         pad = (-T) % chunk
         fr_p = np.concatenate([frames, frames[-1:].repeat(pad, 0)], 0) \
@@ -369,20 +371,19 @@ class DiffuEraser:
         pf_p = None if pf is None else (np.concatenate(
             [pf, pf[-1:].repeat(pad, 0)], 0) if pad else pf)
         lat_c, mlat_c, prior_c = [], [], []
-        for i in range(0, fr_p.shape[0], chunk):
-            lat, mlat = encode_masked_u8(
-                self.params, jnp.asarray(fr_p[i:i + chunk]),
-                jnp.asarray(mk_p[i:i + chunk]))
-            lat_c.append(lat)
-            mlat_c.append(mlat)
-            if pf_p is not None:
-                prior_c.append(encode_u8(
-                    self.params, jnp.asarray(pf_p[i:i + chunk])))
-        masked_lat = jnp.concatenate(lat_c, 0)[:T]
-        m_lat = jnp.concatenate(mlat_c, 0)[:T]
-        # prior == masked input when absent -> encode once, reuse
-        prior_lat = jnp.concatenate(prior_c, 0)[:T] if prior_c \
-            else masked_lat
+
+        def ensure_encoded(upto: int):
+            """Encode chunks until frames [0, upto) have latents."""
+            while len(lat_c) * chunk < upto:
+                i = len(lat_c) * chunk
+                lat, mlat = encode_masked_u8(
+                    self.params, jnp.asarray(fr_p[i:i + chunk]),
+                    jnp.asarray(mk_p[i:i + chunk]))
+                lat_c.append(lat)
+                mlat_c.append(mlat)
+                if pf_p is not None:
+                    prior_c.append(encode_u8(
+                        self.params, jnp.asarray(pf_p[i:i + chunk])))
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),
@@ -441,6 +442,14 @@ class DiffuEraser:
                     pass
                 chunks.append((decoded_upto, i, u8))
                 decoded_upto = min(i + n, upto)
+
+        # encode everything upfront: through this host link, transfers do
+        # not overlap device compute (measured), so lazy per-window
+        # encoding buys nothing and adds per-window concat work
+        ensure_encoded(T)
+        masked_lat = jnp.concatenate(lat_c, 0)
+        m_lat = jnp.concatenate(mlat_c, 0)
+        prior_lat = jnp.concatenate(prior_c, 0) if prior_c else masked_lat
 
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
