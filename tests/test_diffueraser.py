@@ -91,3 +91,28 @@ class TestDiffuEraserTiny:
         out = model.forward(list(frames), list(masks), prior_frames=list(prior),
                             max_img_size=40)
         assert len(out) == T and out[0].shape == (40, 40, 3)
+
+
+class TestClassifierFreeGuidance:
+    def test_guidance_zero_matches_default_and_nonzero_differs(self, rng):
+        """guidance_scale=None/0 is the reference behavior
+        (diffuerase.py:61); a positive scale with a prompt runs real CFG."""
+        import jax.numpy as jnp
+        from videovanish_tpu.config import tiny_config
+        from videovanish_tpu.models.diffueraser import DiffuEraser
+        cfg = tiny_config().diffueraser
+        fr = [(rng.random((64, 48, 3)) * 255).astype(np.uint8)
+              for _ in range(4)]
+        ms = [np.zeros((64, 48), np.uint8) for _ in range(4)]
+        for m in ms:
+            m[20:40, 10:30] = 255
+        model = DiffuEraser(config=cfg, seed=0)
+        o0 = np.stack(model.forward(fr, ms, max_img_size=64))
+        o1 = np.stack(model.forward(fr, ms, max_img_size=64,
+                                    guidance_scale=0))
+        np.testing.assert_array_equal(o0, o1)
+        pe = jnp.asarray(rng.standard_normal(
+            (77, cfg.cross_attention_dim)).astype(np.float32) * 0.02)
+        o2 = np.stack(model.forward(fr, ms, max_img_size=64,
+                                    guidance_scale=3.5, prompt_embeds=pe))
+        assert (o2 != o0).any()

@@ -259,14 +259,22 @@ class DiffuEraser:
                 .astype(jnp.uint8)
 
         def denoise_window(params, prior_lat, masked_lat, mask_lat, noise,
-                           prompt_emb):
+                           prompt_emb, guidance: float = 0.0):
             """One temporal window: PCM few-step denoise. All (T, h8, w8, C);
             prompt_emb: (77, D) conditioning (the null-prompt embedding by
-            default; a CLIP-encoded prompt for prompt-guided inpainting)."""
+            default; a CLIP-encoded prompt for prompt-guided inpainting).
+            guidance: static CFG scale; 0 (the reference default,
+            diffuerase.py:61 -> guidance_scale None) means no
+            classifier-free guidance and a single UNet pass per step."""
             T = prior_lat.shape[0]
             txt = jnp.broadcast_to(
                 prompt_emb.astype(unet.dtype)[None],
                 (T, 77, prompt_emb.shape[-1]))
+            use_cfg = guidance > 0.0
+            if use_cfg:
+                null = jnp.broadcast_to(
+                    params["null_text_emb"].astype(unet.dtype)[None],
+                    (T, 77, prompt_emb.shape[-1]))
             x = schedule.add_noise(prior_lat, noise,
                                    jnp.full((T,), steps[0], jnp.int32))
             reuse = self.cfg.brushnet_feature_reuse
@@ -279,10 +287,17 @@ class DiffuEraser:
                     bd, bm, bu = brushnet.apply(
                         {"params": params["brushnet"]}, bsample, t_vec,
                         t_frames)
-                eps = unet.apply({"params": params["unet"]},
-                                 x.astype(unet.dtype), t_vec, txt, t_frames,
-                                 brushnet_down=bd, brushnet_mid=bm,
-                                 brushnet_up=bu)
+
+                def eps_for(cond):
+                    return unet.apply({"params": params["unet"]},
+                                      x.astype(unet.dtype), t_vec, cond,
+                                      t_frames, brushnet_down=bd,
+                                      brushnet_mid=bm, brushnet_up=bu)
+
+                eps = eps_for(txt)
+                if use_cfg:
+                    eps_u = eps_for(null)
+                    eps = eps_u + guidance * (eps - eps_u)
                 t_next = int(steps[i + 1]) if i + 1 < len(steps) else -1
                 x = consistency_step(schedule, x, eps.astype(jnp.float32),
                                      jnp.int32(t_i), jnp.int32(t_next))
@@ -292,7 +307,8 @@ class DiffuEraser:
         # arguments (forward() device_puts window inputs frame-sharded)
         # and XLA propagates them through the whole program
         encode = jax.jit(encode)
-        denoise_window = jax.jit(denoise_window)
+        denoise_window = jax.jit(
+            denoise_window, static_argnames=("guidance",))
         decode = jax.jit(decode)
 
         fns = (encode, encode_masked_u8, encode_u8,
@@ -460,7 +476,8 @@ class DiffuEraser:
                 put(jax.lax.dynamic_slice_in_dim(masked_lat, s, L)),
                 put(jax.lax.dynamic_slice_in_dim(m_lat, s, L)),
                 put(jax.lax.dynamic_slice_in_dim(noise, s, L)),
-                prompt_emb)
+                prompt_emb,
+                guidance=float(guidance_scale or 0.0))
             bw = window_blend_weights(L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
                                       is_first=(wi == 0),
                                       is_last=(wi == len(plan) - 1))
