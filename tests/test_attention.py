@@ -62,6 +62,39 @@ def test_pallas_kernel_interpret_mode(rng):
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+def test_packed_small_attention_matches_dense(rng):
+    """The J-per-MXU-tile packed path (temporal attention's shape class)
+    must equal dense attention exactly (block-diag mask -> exact zeros)."""
+    from videovanish_tpu.ops.attention import _packed_small_attention
+    for (B, H, S, Sk, D) in [(200, 8, 22, 22, 40), (129, 4, 7, 7, 16),
+                             (1024, 1, 3, 3, 8)]:
+        q = rng.standard_normal((B, H, S, D)).astype(np.float32)
+        k = rng.standard_normal((B, H, Sk, D)).astype(np.float32)
+        v = rng.standard_normal((B, H, Sk, D)).astype(np.float32)
+        ref = manual_attention(q, k, v, D ** -0.5)
+        out = np.asarray(_packed_small_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), D ** -0.5))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        # the dispatcher routes this shape class to the packed path
+        out2 = np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v)))
+        np.testing.assert_allclose(out2, ref, atol=2e-5)
+
+
+def test_packed_small_attention_pallas_interpret(rng):
+    """Pallas fused variant in interpreter mode (CPU coverage)."""
+    from videovanish_tpu.ops.attention import _packed_small_attention_tpu
+    B, H, S, D = 40, 2, 5, 12
+    q = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    k = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    v = rng.standard_normal((B, H, S, D)).astype(np.float32)
+    ref = manual_attention(q, k, v, D ** -0.5)
+    out = np.asarray(_packed_small_attention_tpu(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), D ** -0.5,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_group_norm_matches_torch(rng):
     import torch
     from videovanish_tpu.ops.groupnorm import group_norm, group_norm_silu

@@ -35,7 +35,7 @@ def setup():
     t_vec = jnp.zeros((B * T,), jnp.int32)
     txt = jnp.zeros((B * T, 77, cfg.cross_attention_dim))
     unet_p = unet.init(key, jnp.zeros((B * T, h, w, 4)), t_vec, txt, T)["params"]
-    brush_p = brushnet.init(key, jnp.zeros((B * T, h, w, 9)), t_vec,
+    brush_p = brushnet.init(key, jnp.zeros((B * T, h, w, 9)), t_vec, txt,
                             T)["params"]
     batch = {
         "latents": jax.random.normal(key, (B, T, h, w, 4)),

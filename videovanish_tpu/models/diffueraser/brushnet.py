@@ -3,10 +3,13 @@
 BrushNet-style dual-branch inpainting conditioning (the reference gets
 this inside lixiaowen/diffuEraser's UNet [external per SURVEY.md §2c]):
 a clone of the UNet that sees [noisy latent(4), masked-image latent(4),
-downsampled mask(1)] = 9 input channels, runs WITHOUT text
-cross-attention (self-attention only — masked pixels shouldn't consult
-the prompt), and emits per-stage features through zero-initialized 1x1
-convs that the main UNet adds at its skip/mid/up stages.
+downsampled mask(1)] = 9 input channels, conditioned on the same text
+embedding as the main UNet (upstream BrushNet keeps the UNet's
+cross-attention layers in the branch; this also keeps attn2 a cheap
+77-token cross-attention instead of a second full spatial
+self-attention — measured 2x per transformer at 720p latents), and
+emits per-stage features through zero-initialized 1x1 convs that the
+main UNet adds at its skip/mid/up stages.
 
 Outputs align with UNetCondition's injection points:
   down: 13 tensors (conv_in + 12 down residuals)
@@ -44,12 +47,14 @@ class BrushNetModel(nn.Module):
     block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     num_attention_heads: int = 8
+    cross_attention_dim: int = 768
     use_temporal: bool = True
     ring_mesh: object = None  # mesh for sequence-parallel temporal attention
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, sample, timesteps, t_frames: int = 1):
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 t_frames: int = 1):
         ch = tuple(self.block_out_channels)
         n_blocks = len(ch)
         heads = self.num_attention_heads
@@ -75,9 +80,9 @@ class BrushNetModel(nn.Module):
                 h = ResnetBlock2D(c, dtype=self.dtype,
                                   name=f"{pre}_resnets_{j}")(h, temb)
                 if has_attn:
-                    # self-attention only: no encoder_hidden_states
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
-                                      name=f"{pre}_attentions_{j}")(h, None)
+                                      name=f"{pre}_attentions_{j}")(
+                        h, encoder_hidden_states)
                     if temporal:
                         h = TemporalAttentionBlock(
                             heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
@@ -97,7 +102,8 @@ class BrushNetModel(nn.Module):
         h = ResnetBlock2D(ch[-1], dtype=self.dtype,
                           name="mid_block_resnets_0")(h, temb)
         h = Transformer2D(heads, ch[-1] // heads, dtype=self.dtype,
-                          name="mid_block_attentions_0")(h, None)
+                          name="mid_block_attentions_0")(
+            h, encoder_hidden_states)
         if temporal:
             h = TemporalAttentionBlock(heads, ring_mesh=self.ring_mesh,
                                        dtype=self.dtype,
@@ -120,7 +126,8 @@ class BrushNetModel(nn.Module):
                                   name=f"{pre}_resnets_{j}")(h, temb)
                 if has_attn:
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
-                                      name=f"{pre}_attentions_{j}")(h, None)
+                                      name=f"{pre}_attentions_{j}")(
+                        h, encoder_hidden_states)
                     if temporal:
                         h = TemporalAttentionBlock(
                             heads, ring_mesh=self.ring_mesh, dtype=self.dtype,

@@ -185,13 +185,14 @@ class DiffuEraser:
             unet_p = zero_init(
                 lambda k, a, b, c: self.unet.init(k, a, b, c, 2), ku, z, t, txt)
             brush_p = zero_init(
-                lambda k, a, b: self.brushnet.init(k, a, b, 2), kb, bsamp, t)
+                lambda k, a, b, c: self.brushnet.init(k, a, b, c, 2),
+                kb, bsamp, t, txt)
         else:
             vae_p = self.vae.init(kv, img, method=self.vae.encode)["params"]
             vae_p2 = self.vae.init(kv, zdec, method=self.vae.decode)["params"]
             vae_p = {**vae_p2, **vae_p}
             unet_p = self.unet.init(ku, z, t, txt, 2)["params"]
-            brush_p = self.brushnet.init(kb, bsamp, t, 2)["params"]
+            brush_p = self.brushnet.init(kb, bsamp, t, txt, 2)["params"]
         null_emb = jax.random.normal(kt, (77, cfg.cross_attention_dim),
                                      jnp.float32) * 0.02
 
@@ -278,25 +279,30 @@ class DiffuEraser:
             x = schedule.add_noise(prior_lat, noise,
                                    jnp.full((T,), steps[0], jnp.int32))
             reuse = self.cfg.brushnet_feature_reuse
-            bd = bm = bu = None
+            feats = {}  # conditioning -> brushnet features
             for i, t_i in enumerate(steps):
                 t_vec = jnp.full((T,), int(t_i), jnp.int32)
-                if bd is None or not reuse:
+                if not feats or not reuse:
                     bsample = jnp.concatenate(
                         [x, masked_lat, mask_lat], axis=-1).astype(unet.dtype)
-                    bd, bm, bu = brushnet.apply(
-                        {"params": params["brushnet"]}, bsample, t_vec,
-                        t_frames)
+                    feats = {"c": brushnet.apply(
+                        {"params": params["brushnet"]}, bsample, t_vec, txt,
+                        t_frames)}
+                    if use_cfg:
+                        feats["u"] = brushnet.apply(
+                            {"params": params["brushnet"]}, bsample, t_vec,
+                            null, t_frames)
 
-                def eps_for(cond):
+                def eps_for(cond, which):
+                    bd, bm, bu = feats[which]
                     return unet.apply({"params": params["unet"]},
                                       x.astype(unet.dtype), t_vec, cond,
                                       t_frames, brushnet_down=bd,
                                       brushnet_mid=bm, brushnet_up=bu)
 
-                eps = eps_for(txt)
+                eps = eps_for(txt, "c")
                 if use_cfg:
-                    eps_u = eps_for(null)
+                    eps_u = eps_for(null, "u")
                     eps = eps_u + guidance * (eps - eps_u)
                 t_next = int(steps[i + 1]) if i + 1 < len(steps) else -1
                 x = consistency_step(schedule, x, eps.astype(jnp.float32),

@@ -58,9 +58,10 @@ def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
         def flat(x):
             return x.reshape((-1,) + x.shape[2:])
 
-        def brush_fwd(bp, bsample, t_full):
+        def brush_fwd(bp, bsample, t_full, txt):
             return brushnet.apply({"params": bp},
-                                  bsample.astype(brushnet.dtype), t_full, T)
+                                  bsample.astype(brushnet.dtype), t_full,
+                                  txt.astype(brushnet.dtype), T)
 
         def unet_fwd(up, x_t, t_full, txt, bd, bm, bu):
             return unet.apply({"params": up}, x_t.astype(unet.dtype), t_full,
@@ -76,8 +77,8 @@ def make_train_step(unet, brushnet, mesh, learning_rate: float = 1e-5,
         x_t = schedule.add_noise(x0, flat(noise), t_full)
         bsample = jnp.concatenate(
             [x_t, flat(batch["masked_lat"]), flat(batch["mask_lat"])], axis=-1)
-        bd, bm, bu = brush_fwd(params["brushnet"], bsample, t_full)
         txt = jnp.repeat(batch["text_emb"], T, axis=0)
+        bd, bm, bu = brush_fwd(params["brushnet"], bsample, t_full, txt)
         eps = unet_fwd(params["unet"], x_t, t_full, txt, bd, bm, bu)
         err = eps.astype(jnp.float32) - flat(noise)
         return jnp.mean(jnp.square(err))
