@@ -62,6 +62,30 @@ class TestInfillPipeline:
         # far from the dilated+feathered mask the original is untouched
         np.testing.assert_array_equal(out[0][:4, :4], frames[0][:4, :4])
 
+    def test_roi_fetch_exact_vs_full(self, tiny_pipeline, rng):
+        """output_roi must not change the composited result: the feathered
+        alpha is 0 beyond the feather band, so out-of-ROI model output is
+        discarded anyway. Same model, same seed -> the composites of the
+        ROI-fetched and full-fetched outputs must be bit-identical."""
+        from videovanish_tpu.ops.composite import feathered_composite
+        from videovanish_tpu.ops.morphology import binarize_and_dilate
+        import jax.numpy as jnp
+        T, H, W = 4, 64, 64
+        frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+        masks = np.zeros((T, H, W, 3), np.uint8)
+        masks[:, 24:40, 24:40, 1] = 255
+        model, _ = tiny_pipeline._get_models("2-Step")
+        dil = binarize_and_dilate(jnp.asarray(masks), 2)
+        dil_list = list(np.asarray(dil))
+        full = model.forward(list(frames), dil_list, None, max_img_size=64)
+        part = model.forward(list(frames), dil_list, None, max_img_size=64,
+                             output_roi="auto")
+        def comp(x):
+            return np.asarray(feathered_composite(
+                jnp.asarray(np.stack(x)), jnp.asarray(frames), dil,
+                3.0, keep_unmasked_original=True))
+        np.testing.assert_array_equal(comp(part), comp(full))
+
     def test_progress_callback_contract(self, tiny_pipeline, rng):
         calls = []
 

@@ -13,16 +13,18 @@ from __future__ import annotations
 import argparse
 
 from videovanish_tpu.core.convert import (
-    SAM2_RULES, UNET_RULES, VAE_RULES, convert_torch_file,
+    SAM2_RULES, SAM2_SPECIALS, UNET_RULES, UNET_SPECIALS, VAE_RULES,
+    convert_torch_file,
 )
 
+# model name -> (rename rules, layout-override specials)
 RULES = {
-    "vae": VAE_RULES,
-    "unet": UNET_RULES,
-    "brushnet": UNET_RULES,
-    "sam2": SAM2_RULES,
-    "propainter": [],
-    "raw": [],
+    "vae": (VAE_RULES, ()),
+    "unet": (UNET_RULES, UNET_SPECIALS),
+    "brushnet": (UNET_RULES, UNET_SPECIALS),
+    "sam2": (SAM2_RULES, SAM2_SPECIALS),
+    "propainter": ([], ()),
+    "raw": ([], ()),
 }
 
 
@@ -39,8 +41,10 @@ def main(argv=None) -> None:
                     help="print the converted tree structure, do not save")
     args = ap.parse_args(argv)
 
-    tree = convert_torch_file(args.input, RULES[args.model],
-                              out_path=None if args.dry_run else args.output)
+    rules, specials = RULES[args.model]
+    tree = convert_torch_file(args.input, rules,
+                              out_path=None if args.dry_run else args.output,
+                              special=specials)
     import jax
     leaves = jax.tree.leaves(tree)
     n_params = sum(int(x.size) for x in leaves)

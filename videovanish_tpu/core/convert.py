@@ -138,14 +138,29 @@ VAE_RULES: list[tuple[str, str]] = [
     (r"downsamplers\.0\.conv", "downsamplers.0.conv"),
 ]
 
-# diffusers UNet2DConditionModel -> models/diffueraser/unet.py naming
+# diffusers UNet2DConditionModel / BrushNetModel -> models/diffueraser
+# naming. Our UNet flattens the block scope into ONE module name
+# ("down_blocks_0_resnets_1"), so the block-level dots fold here; inner
+# names (conv1, attn1.to_q, ff.net_0.proj ...) match diffusers already.
 UNET_RULES: list[tuple[str, str]] = [
     # attention out proj list index
     (r"\.to_out\.0\.", ".to_out_0."),
-    # GEGLU / FF naming: ff.net.0.proj, ff.net.2 already match net_0/net_2
-    # time embedding linear names already match linear_1/linear_2
-    # mid block flattening: mid_block.resnets.0 -> mid_block_resnets_0
-    (r"^mid_block\.", "mid_block."),
+    (r"^(down_blocks|up_blocks)\.(\d+)\.(resnets|attentions|motion_modules"
+     r"|downsamplers|upsamplers)\.(\d+)\.", r"\1_\2_\3_\4."),
+    (r"^mid_block\.(resnets|attentions|motion_modules)\.(\d+)\.",
+     r"mid_block_\1_\2."),
+    # BrushNet zero convs (diffusers BrushNetModel naming)
+    (r"^brushnet_down_blocks\.(\d+)\.", r"zero_down_\1.conv."),
+    (r"^brushnet_mid_block\.", "zero_mid.conv."),
+    (r"^brushnet_up_blocks\.(\d+)\.", r"zero_up_\1.conv."),
+]
+
+# SD1.5 uses use_linear_projection=False: the spatial transformers'
+# proj_in/proj_out are 1x1 Conv2d in checkpoints but Dense here (a 1x1
+# conv of NHWC IS a matmul — one fewer layout shuffle on TPU).
+UNET_SPECIALS: list = [
+    (r"(proj_in|proj_out)\.weight$", "kernel",
+     lambda a: a[:, :, 0, 0].T if a.ndim == 4 else t_linear(a)),
 ]
 
 # SAM2 torch checkpoint (facebookresearch format, the reference's
@@ -251,7 +266,8 @@ HF_SAM2_RULES: list[tuple[str, str]] = [
 ]
 
 
-def convert_torch_file(path: str, rules, out_path: str = None):
+def convert_torch_file(path: str, rules, out_path: str = None,
+                       special=()):
     """Load a .pt/.pth/.safetensors file and convert. Torch stays a
     host-side conversion dependency only."""
     if str(path).endswith(".safetensors"):
@@ -263,7 +279,7 @@ def convert_torch_file(path: str, rules, out_path: str = None):
         state = obj.get("model", obj.get("state_dict", obj)) \
             if isinstance(obj, dict) else obj
         state = {k: v.numpy() for k, v in state.items()}
-    tree = convert_state_dict(state, rules)
+    tree = convert_state_dict(state, rules, special)
     if out_path:
         from videovanish_tpu.core.checkpoint import save_pytree
         save_pytree(out_path, tree)

@@ -235,15 +235,21 @@ class DiffuEraser:
             return vae.apply({"params": params["vae"]}, x,
                              method=vae.encode) * scale
 
-        def encode_masked_u8(params, x_u8, m_u8):
-            """uint8 frame/mask chunk -> (masked latents, latent-res mask).
-            Normalization/masking fused on device so only uint8 crosses
-            the host link; per-chunk so uploads overlap earlier chunks'
-            encodes."""
+        def encode_masked_u8(params, x_u8, m_bits):
+            """uint8 frame chunk + BIT-PACKED mask chunk -> (masked
+            latents, latent-res mask). The mask ships as one bit per
+            pixel (np.packbits over the row axis) because the ~25 MB/s
+            host link does not overlap device compute: a full-res uint8
+            mask alone costs ~20 ms/frame of wall clock at 720p. Frames
+            stay uint8; normalization/masking happen on device."""
             x = x_u8.astype(jnp.float32) / 255.0
-            m_f = (m_u8 > 0).astype(jnp.float32)[..., None]
+            w = x.shape[2]
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (m_bits[..., None] >> shifts) & jnp.uint8(1)
+            m_u8 = bits.reshape(m_bits.shape[0], m_bits.shape[1], w)
+            m_f = m_u8.astype(jnp.float32)[..., None]
             lat = encode(params, x * (1.0 - m_f))
-            h8c, w8c = x.shape[1] // 8, x.shape[2] // 8
+            h8c, w8c = x.shape[1] // 8, w // 8
             m_lat = resize_nearest_2d(m_u8, h8c, w8c)
             return lat, (m_lat > 0).astype(jnp.float32)[..., None]
 
@@ -325,7 +331,7 @@ class DiffuEraser:
     # ------------------------------------------------------------------
     def forward(self, frames, masks, prior_frames=None, max_img_size: int = 960,
                 mask_dilation_iter: int = 0, guidance_scale=None,
-                progress=None, prompt_embeds=None):
+                progress=None, prompt_embeds=None, output_roi=None):
         """Inpaint `frames` where `masks` is nonzero, seeded by `prior_frames`.
 
         frames: list/array of (H0,W0,3) RGB uint8
@@ -335,6 +341,15 @@ class DiffuEraser:
         prompt_embeds: optional (77, D) CLIP text embedding for prompt-
             guided inpainting (models/diffueraser/text_encoder.py); the
             reference behavior (empty prompt, guidance 0) is the default.
+        output_roi: None (default: fetch full decoded frames), "auto"
+            (the mask's bounding box + 16 px margin), or an explicit
+            (y0, y1, x0, x1) at inference resolution. With an ROI, only
+            that window of each decoded frame crosses the (serial,
+            ~15-50 MB/s) host link; pixels outside it are the resized
+            INPUT pixels. This is exact for the default pipeline
+            (keep_unmasked_original, diffuerase.py:75-112): its feathered
+            alpha is identically 0 beyond feather_px outside the dilated
+            mask, so out-of-ROI model output is discarded anyway.
         Returns list of (h,w,3) RGB uint8 at inference resolution (the
         pipeline layer composites/rescales back, as the reference does at
         diffuerase.py:70-112).
@@ -374,6 +389,28 @@ class DiffuEraser:
         else:
             pf = None  # no prior: prior latents == masked-input latents
 
+        # ---- optional ROI fetch (see docstring) ----
+        roi = None
+        if output_roi is not None:
+            if isinstance(output_roi, str) and output_roi == "auto":
+                ys, xs = np.nonzero(masks.any(axis=0))
+                if ys.size:
+                    y0 = int(ys.min()) - 16
+                    y1 = int(ys.max()) + 17
+                    x0 = int(xs.min()) - 16
+                    x1 = int(xs.max()) + 17
+                else:
+                    y0 = y1 = x0 = x1 = 0
+            else:
+                y0, y1, x0, x1 = (int(v) for v in output_roi)
+            # snap to 16-px multiples: slice programs cache across videos
+            y0 = max(0, (y0 // 16) * 16)
+            x0 = max(0, (x0 // 16) * 16)
+            y1 = min(h, -(-y1 // 16) * 16)
+            x1 = min(w, -(-x1 // 16) * 16)
+            if y1 > y0 and x1 > x0 and (y1 - y0) * (x1 - x0) < h * w:
+                roi = (y0, y1, x0, x1)
+
         clip_len = min(cfg.clip_length, T)
         (encode, encode_masked_u8, encode_u8, denoise_window, decode) = \
             self._get_jitted(clip_len)
@@ -394,13 +431,16 @@ class DiffuEraser:
             [pf, pf[-1:].repeat(pad, 0)], 0) if pad else pf)
         lat_c, mlat_c, prior_c = [], [], []
 
+        # bit-pack masks once: 8x fewer bytes over the serial host link
+        mk_bits = np.packbits(mk_p > 0, axis=-1)
+
         def ensure_encoded(upto: int):
             """Encode chunks until frames [0, upto) have latents."""
             while len(lat_c) * chunk < upto:
                 i = len(lat_c) * chunk
                 lat, mlat = encode_masked_u8(
                     self.params, jnp.asarray(fr_p[i:i + chunk]),
-                    jnp.asarray(mk_p[i:i + chunk]))
+                    jnp.asarray(mk_bits[i:i + chunk]))
                 lat_c.append(lat)
                 mlat_c.append(mlat)
                 if pf_p is not None:
@@ -458,6 +498,8 @@ class DiffuEraser:
                     acc, i, min(chunk, T)) / jax.lax.dynamic_slice_in_dim(
                         wsum, i, min(chunk, T))
                 u8 = decode(self.params, z_c)
+                if roi is not None:
+                    u8 = u8[:, roi[0]:roi[1], roi[2]:roi[3]]
                 try:
                     u8.copy_to_host_async()
                 except Exception:
@@ -498,12 +540,18 @@ class DiffuEraser:
 
         prog(85, "VAE-decoding frames")
         out = np.empty((T, h, w, 3), np.uint8)
+        if roi is not None:
+            out[:] = frames  # out-of-ROI pixels = resized input
         for start, i, u8 in chunks:
             arr = np.asarray(u8)
             # the decode batch covers [i, i+chunk); frames before `start`
             # in it were already written by an earlier chunk
             end = min(i + chunk, T)
-            out[start:end] = arr[start - i:end - i]
+            if roi is None:
+                out[start:end] = arr[start - i:end - i]
+            else:
+                out[start:end, roi[0]:roi[1], roi[2]:roi[3]] = \
+                    arr[start - i:end - i]
         prog(100, "diffusion inpainting done")
         return [out[i] for i in range(T)]
 

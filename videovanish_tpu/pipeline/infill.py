@@ -12,10 +12,19 @@ Signature and defaults are identical to the reference
     "2-Step", SURVEY.md §2b#4 — we default to "2-Step" and respect an
     explicit value).
 Model singletons are lazy globals like the reference (diffuerase.py:15-18).
+
+Postprocess venue: mask dilation and the feathered composite run on HOST
+via the native C++ kernels (exact scipy/cv2 parity, tests/test_native.py)
+whenever the library builds — the host link to the device is serial and
+slow (~15-50 MB/s), so shipping full-resolution originals up and the
+composite back down costs far more than the C loops; combined with
+model.forward's ROI fetch, only the mask's bounding box of the model
+output ever crosses the link. Set VV_HOST_POSTPROC=0 to force the jitted
+device ops instead (fast-interconnect hosts).
 """
 from __future__ import annotations
 
-
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -90,9 +99,22 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
     prog(5, "dilating frames")
     if masks.ndim == 3:  # (T, H, W) channel-less -> add channel axis
         masks = np.repeat(masks[..., None], 3, axis=-1)
+    nat = _native()
+    host_post = nat is not None \
+        and os.environ.get("VV_HOST_POSTPROC", "1") != "0"
+    dilated = None  # device copy, only materialized on the device path
     with stage_timer("mask_dilate", frames=T):
-        dilated = binarize_and_dilate(jnp.asarray(masks), mask_dilation_iter)
-        dilated_np = np.asarray(dilated)  # (T, H, W) uint8 {0,255}
+        if host_post:
+            m_any = np.any(masks > 0, axis=-1)
+            if mask_dilation_iter > 0:
+                m_any = np.stack([nat.binary_dilate(m_any[i],
+                                                    mask_dilation_iter)
+                                  for i in range(T)])
+            dilated_np = m_any.astype(np.uint8) * np.uint8(255)
+        else:
+            dilated = binarize_and_dilate(jnp.asarray(masks),
+                                          mask_dilation_iter)
+            dilated_np = np.asarray(dilated)  # (T, H, W) uint8 {0,255}
 
     prog(10, "loading weights")
     model, pp = _get_models(ckpt or "2-Step")
@@ -122,17 +144,55 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                 mask_dilation_iter=0,
                 guidance_scale=None,
                 progress=prog,
+                # the feathered composite zeroes alpha beyond feather_px
+                # outside the dilated mask, so only the mask's bounding
+                # box of the model output needs to cross the host link
+                output_roi="auto" if keep_unmasked_original else None,
             )
 
         prog(90, "resizing and merging finished frames")
         with stage_timer("rescale_composite", frames=T):
-            out = feathered_composite(
-                jnp.asarray(np.stack(inpainted)),
-                jnp.asarray(frames),
-                dilated,
-                float(feather_px),
-                keep_unmasked_original=keep_unmasked_original,
-            )
-            out_np = np.asarray(out)
+            if host_post:
+                out_np = _host_composite(
+                    nat, inpainted, frames, dilated_np, float(feather_px),
+                    keep_unmasked_original)
+            else:
+                out = feathered_composite(
+                    jnp.asarray(np.stack(inpainted)),
+                    jnp.asarray(frames),
+                    dilated if dilated is not None
+                    else jnp.asarray(dilated_np),
+                    float(feather_px),
+                    keep_unmasked_original=keep_unmasked_original,
+                )
+                out_np = np.asarray(out)
     prog(100, "done")
     return [out_np[i] for i in range(T)]
+
+
+def _native():
+    try:
+        from videovanish_tpu.native import binding
+        return binding if binding.available() else None
+    except Exception:  # pragma: no cover - build failure -> device path
+        return None
+
+
+def _host_composite(nat, inpainted, frames, dilated_np, feather_px,
+                    keep_unmasked_original):
+    """Per-frame host postprocess (reference semantics, diffuerase.py:70-112
+    with the all-frames fix): cv2 INTER_LINEAR resize back to the source
+    resolution, then the native feathered composite."""
+    import cv2
+    T, H0, W0 = frames.shape[:3]
+    out = np.empty_like(frames)
+    for i in range(T):
+        inp = np.asarray(inpainted[i])
+        if inp.shape[:2] != (H0, W0):
+            inp = cv2.resize(inp, (W0, H0), interpolation=cv2.INTER_LINEAR)
+        if keep_unmasked_original:
+            out[i] = nat.feather_composite(inp, frames[i], dilated_np[i],
+                                           feather_px)
+        else:
+            out[i] = inp
+    return out
