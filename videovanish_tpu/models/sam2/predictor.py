@@ -38,6 +38,20 @@ _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+@jax.jit
+def _pack_binary_masks(logits):
+    """(O, H, W) logits -> (O, H, ceil(W/8)) bit-packed (logits > 0),
+    big-endian bit order (np.unpackbits default). Shipping 1 bit/px over
+    the serial host link instead of 1 f32/px is a 32x byte cut."""
+    O, H, W = logits.shape
+    wp = -(-W // 8) * 8
+    b = (logits > 0.0).astype(jnp.int32)
+    b = jnp.pad(b, ((0, 0), (0, 0), (0, wp - W)))
+    b = b.reshape(O, H, wp // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    return jnp.sum(b * weights, axis=-1).astype(jnp.uint8)
+
+
 class _BankMeta:
     """Host-side occupancy metadata for the DEVICE-resident memory bank.
 
@@ -562,8 +576,11 @@ class Sam2VideoPredictor:
         sam2_masker.py:143-147).
 
         yield_binary: yield uint8 0/1 masks (logits > 0 computed on
-        device) instead of f32 logits — 4x fewer bytes over the host
-        link; the pipeline layer uses this since it thresholds at 0
+        device) instead of f32 logits; the masks additionally cross the
+        host link BIT-PACKED (32x fewer bytes than f32 logits — the
+        serial ~15-50 MB/s link is the mask-FPS bottleneck) and are
+        unpacked here before yielding, so the caller-visible contract is
+        unchanged. The pipeline layer uses this since it thresholds at 0
         anyway (sam2_masker.py:145)."""
         state = inference_state
         obj_ids = list(state["obj_ids"])
@@ -588,6 +605,14 @@ class Sam2VideoPredictor:
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
 
+        W0 = state["W0"]
+
+        def pack_binary(logits):
+            return _pack_binary_masks(logits)
+
+        def unpack(arr):
+            return np.unpackbits(arr, axis=-1)[:, :, :W0]
+
         pending = None  # one-frame fetch lookahead
         for t in frame_order:
             f4, f8, f16 = self._encode_frame(state, t)
@@ -608,8 +633,7 @@ class Sam2VideoPredictor:
                 jnp.int32(write_slot), jnp.int32(ptr_slot),
                 jnp.bool_(is_cond))
 
-            dev = (logits_full > 0.0).astype(jnp.uint8) if yield_binary \
-                else logits_full
+            dev = pack_binary(logits_full) if yield_binary else logits_full
             try:  # overlap this frame's host fetch with the next frame's
                 dev.copy_to_host_async()
             except Exception:
@@ -617,11 +641,13 @@ class Sam2VideoPredictor:
             if pending is not None:
                 pt, parr = pending
                 arr = np.asarray(parr)
+                arr = unpack(arr) if yield_binary else arr
                 yield pt, obj_ids, [arr[i] for i in range(O)]
             pending = (t, dev)
         if pending is not None:
             pt, parr = pending
             arr = np.asarray(parr)
+            arr = unpack(arr) if yield_binary else arr
             yield pt, obj_ids, [arr[i] for i in range(O)]
 
 

@@ -362,8 +362,13 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
             backend == "auto" and _use_pallas() and not is_causal
             and k.shape[2] >= 512)):
         return _flash_attention(q, k, v, float(scale))
+    # Packed small-sequence path: only where measured to win — S in
+    # [17, 64] (J in [2, 7]) with a large batch*heads axis. Below S=17
+    # the naive einsum's score tensors are tiny and XLA is faster
+    # (measured 0.28 vs 0.71 ms at Hiera's (1024,4,16,72)); above 64 the
+    # packing degenerates to J=1.
     if (key_mask is None and not is_causal and backend == "auto"
-            and max(q.shape[2], k.shape[2]) <= 64
+            and 17 <= max(q.shape[2], k.shape[2]) <= 64
             and q.shape[0] * q.shape[1] >= 1024):
         if _use_pallas():
             return _packed_small_attention_tpu(q, k, v, float(scale))
