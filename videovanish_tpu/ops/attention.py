@@ -48,13 +48,17 @@ def _xla_attention(q, k, v, scale, is_causal=False, key_mask=None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, l_ref):
+                  acc_ref, m_ref, *, n_sub=1):
     """Online-softmax block. The wrapper pre-folds scale*log2(e) into q
-    and carries KV-padding masking through the MXU: the last (padded)
-    head lane of q is 1.0 and of k is 0.0 for real rows / -1e30 for pad
-    rows, so padded columns arrive at -1e30 with zero VPU masking cost.
-    Softmax runs in base 2 (exp2) — one fewer multiply per element than
-    exp on the hot (bq, bk) tile."""
+    and carries KV-padding masking through the MXU: q's "flag" head lane
+    is 1.0 and k's is 0.0 for real rows / -1e30 for pad rows, so padded
+    columns arrive at -1e30 with zero VPU masking cost. Softmax runs in
+    base 2 (exp2). The softmax DENOMINATOR also rides the MXU: v's last
+    lane is all-ones, so pv's last lane is sum(p) and the l recurrence
+    is just part of the acc update — no (bq, bk) VPU reduction. With
+    n_sub=2 the KV block is processed as two halves whose QK dots are
+    both issued before either softmax, so the second dot's MXU time
+    hides under the first's VPU softmax (measured ~4%)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -62,30 +66,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
 
     q = q_ref[0]  # (bq, D)
     k = k_ref[0]  # (bk, D)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)     # (bq, bk), log2-domain
+    v = v_ref[0]
+    bs = k.shape[0] // n_sub
+    subs = [jax.lax.dot_general(
+        q, k[i * bs:(i + 1) * bs], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) for i in range(n_sub)]
 
-    m_prev = m_ref[:, :1]                       # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)            # (bq, 1)
-    p = jnp.exp2(s - m_new)                     # (bq, bk)
-
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)     # (bq, D)
-    acc_ref[:] = acc_ref[:] * alpha + pv
+    for i, s in enumerate(subs):
+        m_prev = m_ref[:, :1]                       # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)            # (bq, 1)
+        p = jnp.exp2(s - m_new)                     # (bq, bs)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[i * bs:(i + 1) * bs],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, Dv); last lane = l
+        acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(j == nk - 1)
     def _finish():
-        l = l_ref[:, :1]
+        l = acc_ref[:, -1:]
         l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
@@ -172,11 +177,13 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     Skp = _round_up(Sk, bk)
 
     needs_mask = Skp != Sk
-    # KV-pad masking rides the MXU via one extra "flag" head lane (q=1,
-    # k=0 real / -inf pad) whenever that lane is free inside the 128-wide
-    # tile anyway (D not a multiple of 128 — SD1.5's 40/80/160 all
-    # qualify); the iota-compare kernel covers lane-aligned D.
-    use_flag = needs_mask and _round_up(D + 1, 128) == Dl
+    # One extra head lane (free inside the 128-wide tile whenever D is
+    # not a multiple of 128 — SD1.5's 40/80/160 all qualify) carries TWO
+    # jobs on the MXU: q=1 x k∈{0,-inf} masks KV padding in the scores,
+    # and v=1 makes pv's last lane the softmax denominator, so the
+    # kernel does no (bq, bk) VPU reduction at all. Lane-aligned D falls
+    # back to the iota-compare kernel with an explicit l accumulator.
+    use_flag = _round_up(D + 1, 128) == Dl
     Dp = D + 1 if use_flag else D
 
     qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
@@ -188,17 +195,13 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
         qp = qp.at[..., -1].set(jnp.asarray(1.0, qp.dtype))
         kcol = jnp.where(jnp.arange(Skp) < Sk, 0.0, _NEG_INF)
         kp = kp.at[..., -1].set(kcol.astype(kp.dtype))
+        vp = vp.at[..., -1].set(jnp.asarray(1.0, vp.dtype))
 
     qp = qp.reshape(B * H, Sqp, Dp)
     kp = kp.reshape(B * H, Skp, Dp)
     vp = vp.reshape(B * H, Skp, Dp)
 
     grid = (B * H, Sqp // bq, Skp // bk)
-    scratch = [
-        pltpu.VMEM((bq, Dp), jnp.float32),
-        pltpu.VMEM((bq, 128), jnp.float32),
-        pltpu.VMEM((bq, 128), jnp.float32),
-    ]
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
@@ -206,7 +209,23 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     q_spec = pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0))
     kv_spec = pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0))
 
-    if needs_mask and not use_flag:
+    if use_flag:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel,
+                              n_sub=2 if bk % 256 == 0 else 1),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bq, Dp), jnp.float32),   # acc (+l lane)
+                pltpu.VMEM((bq, 128), jnp.float32),  # m
+            ],
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+        )(qp, kp, vp)
+    else:
+        # lane-aligned D: iota-compare masking + explicit l accumulator
+        # (kvlen = Sk is a no-op compare when there is no KV padding)
         out = pl.pallas_call(
             functools.partial(_flash_kernel_iota, block_k=bk),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -214,21 +233,15 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
                 grid=grid,
                 in_specs=[q_spec, kv_spec, kv_spec],
                 out_specs=q_spec,
-                scratch_shapes=scratch,
+                scratch_shapes=[
+                    pltpu.VMEM((bq, Dp), jnp.float32),
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                    pltpu.VMEM((bq, 128), jnp.float32),
+                ],
             ),
             out_shape=out_shape,
             compiler_params=compiler_params,
         )(jnp.array([Sk], dtype=jnp.int32), qp, kp, vp)
-    else:
-        out = pl.pallas_call(
-            _flash_kernel,
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
-            scratch_shapes=scratch,
-            out_shape=out_shape,
-            compiler_params=compiler_params,
-        )(qp, kp, vp)
     return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
 
 
