@@ -57,8 +57,10 @@ class TestConvertCLI:
         assert tuple(tree["conv_in"]["kernel"].shape) == (3, 3, 3, 8)
         # linear (O,I) -> (I,O)
         assert tuple(tree["time_embedding"]["linear_1"]["kernel"].shape) == (8, 32)
-        # 1-D norm weight -> scale
-        assert "scale" in tree["down_blocks_0"]["resnets_0"]["norm1"]
+        # 1-D norm weight -> scale, under the block scope flattened to
+        # ONE module name (matches the flax scopes; gated end-to-end by
+        # tests/test_unet_oracle.py)
+        assert "scale" in tree["down_blocks_0_resnets_0"]["norm1"]
 
     def test_dry_run_prints_structure(self, tmp_path):
         state = {"conv.weight": torch.randn(4, 2, 1, 1)}

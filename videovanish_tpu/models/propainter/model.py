@@ -135,8 +135,17 @@ class Propainter:
                                          self.decoder)
 
         @jax.jit
-        def run_chunk(params, frames01, masks1):
-            """frames01: (T, h, w, 3) f32 [0,1]; masks1: (T, h, w, 1) f32."""
+        def run_chunk(params, frames_u8, mask_bits):
+            """frames_u8: (T, h, w, 3) uint8; mask_bits: (T, h, w//8)
+            bit-packed mask. uint8 + packed bits over the serial host
+            link (~15-50 MB/s) instead of f32: 4x + 32x fewer bytes —
+            f32 staging alone used to cost more than all of ProPainter's
+            device compute at 480p."""
+            frames01 = frames_u8.astype(jnp.float32) / 255.0
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (mask_bits[..., None] >> shifts) & jnp.uint8(1)
+            masks1 = bits.reshape(frames01.shape[0], frames01.shape[1],
+                                  w).astype(jnp.float32)[..., None]
             imgs = (frames01 * 2.0 - 1.0).astype(self.dtype)
 
             # 1. flows for all consecutive pairs, both directions, one batch
@@ -176,7 +185,8 @@ class Propainter:
 
             pred = prop_img * (1.0 - remaining) + dec01 * remaining
             out = frames01 * (1.0 - masks1) + pred * masks1
-            return jnp.clip(out, 0.0, 1.0)
+            out = jnp.clip(out, 0.0, 1.0)
+            return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
 
         self._jit[key] = run_chunk
         return run_chunk
@@ -193,30 +203,41 @@ class Propainter:
         masks_np = np.stack([np.asarray(m) for m in masks])
         if masks_np.ndim == 4:
             masks_np = np.any(masks_np > 0, axis=-1)
-        m = jnp.asarray(masks_np > 0)
         if mask_dilation > 0:
-            m = binary_dilation(m, mask_dilation)
+            # rare path (both the reference and our pipeline pass 0,
+            # diffuerase.py:56): full-res dilation before the resize
+            m_bool = np.asarray(binary_dilation(
+                jnp.asarray(masks_np > 0), mask_dilation))
+        else:
+            m_bool = masks_np > 0
 
+        # All staging is host-side + uint8: resize to the internal
+        # processing resolution on host, ship uint8 frames + bit-packed
+        # masks, fetch uint8 (the host link is serial and slow; f32
+        # full-res staging used to dominate this model's wall clock).
         h, w = plan_long_side(H0, W0, self.cfg.max_img_size, 8)
-        x = jnp.asarray(frames, jnp.float32) / 255.0
         if (H0, W0) != (h, w):
-            x = resize_bilinear(x, h, w)
-            m = resize_nearest_2d(m.astype(jnp.uint8), h, w) > 0
-        m1 = m.astype(jnp.float32)[..., None]
+            from videovanish_tpu.models.diffueraser.model import (
+                _host_resize_bilinear_u8, _host_resize_nearest_2d,
+            )
+            fr = _host_resize_bilinear_u8(frames, h, w)
+            mk = _host_resize_nearest_2d(
+                m_bool.astype(np.uint8), h, w) > 0
+        else:
+            fr, mk = frames, m_bool
 
         if T < 2:
             # degenerate single-frame case: nothing to propagate from;
             # seed the hole with the unmasked mean color (stable prior)
-            known = 1.0 - m1
-            mean = (x * known).sum(axis=(1, 2), keepdims=True) / \
-                jnp.maximum(known.sum(axis=(1, 2), keepdims=True), 1.0)
-            out1 = x * known + mean * m1
-            if (H0, W0) != (h, w):
-                out1 = resize_bilinear(out1, H0, W0)
-            res = np.asarray(jnp.clip(jnp.rint(out1 * 255.0), 0, 255)
-                             .astype(jnp.uint8))
-            return [res[i] for i in range(T)]
+            known = ~mk[..., None]
+            f32 = frames.astype(np.float32)
+            ksum = np.maximum(known.sum(axis=(1, 2), keepdims=True), 1.0)
+            mean = (f32 * known).sum(axis=(1, 2), keepdims=True) / ksum
+            out1 = np.where(known, f32, mean)
+            return [np.clip(np.rint(out1[i]), 0, 255).astype(np.uint8)
+                    for i in range(T)]
 
+        mk_bits = np.packbits(mk, axis=-1)
         sub = max(2, min(subvideo_length, T))
         overlap = min(4, sub // 2) if T > sub else 0
         run = self._chunk_fn(sub, h, w, neighbor_length, ref_stride)
@@ -230,8 +251,9 @@ class Propainter:
             end = min(start + sub, T)
             s = max(0, end - sub)  # pad window back to full sub length
             prog(20 + 28 * ci / n_chunks, f"propainter chunk {ci + 1}")
-            chunk = run(self.params, x[s:s + sub], m1[s:s + sub])
-            chunk = np.asarray(chunk)
+            chunk = run(self.params, jnp.asarray(fr[s:s + sub]),
+                        jnp.asarray(mk_bits[s:s + sub]))
+            chunk = np.asarray(chunk).astype(np.float32)
             bw = np.ones((sub,), np.float32)
             out[s:s + sub] += chunk * bw[:, None, None, None]
             wsum[s:s + sub] += bw[:, None, None, None]
@@ -239,13 +261,18 @@ class Propainter:
             if end >= T:
                 break
             start = end - overlap
-        out = out / wsum
+        out = np.clip(np.rint(out / wsum), 0, 255).astype(np.uint8)
 
-        res = jnp.asarray(out)
         if (H0, W0) != (h, w):
-            res = resize_bilinear(res, H0, W0)
-        res = np.asarray(jnp.clip(jnp.rint(res * 255.0), 0, 255)
-                         .astype(jnp.uint8))
-        return [res[i] for i in range(T)]
+            try:
+                import cv2
+                out = np.stack([cv2.resize(f, (W0, H0),
+                                           interpolation=cv2.INTER_LINEAR)
+                                for f in out])
+            except ImportError:  # pragma: no cover
+                outj = resize_bilinear(jnp.asarray(out, jnp.float32), H0, W0)
+                out = np.asarray(jnp.clip(jnp.rint(outj), 0, 255)
+                                 .astype(jnp.uint8))
+        return [out[i] for i in range(T)]
 
     __call__ = forward

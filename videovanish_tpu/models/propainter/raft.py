@@ -1,10 +1,20 @@
 """RAFT-style optical flow, flax/NHWC ([external] per SURVEY.md §2c:
 the ProPainter prior starts from RAFT flow between consecutive frames).
 
-TPU-first: the all-pairs correlation volume is one big MXU matmul
-(ops/flow.correlation_pyramid); the iterative refinement is a GRU
-unrolled a static number of times (config.raft_iters) so the whole
-estimator is a single XLA program; lookups are batched bilinear gathers.
+TPU-first: the refinement loop is a GRU unrolled a static number of
+times (config.raft_iters) so the whole estimator is one XLA program.
+The correlation features avoid RAFT's precomputed all-pairs volume +
+per-token window gather entirely — that lookup is ~2.4e9 SCALAR gathers
+per 48-frame chunk and measured 32.6 s on a v5e. Because correlation is
+linear in f2, average-pooling the correlation volume over the f2 axis
+equals correlating against average-pooled f2 FEATURES; so each
+iteration (a) bilinear-warps each pooled f2 level to the current flow
+(whole-row gathers, the fast TPU sampling primitive) and (b) takes a
+local correlation against (2r+1)^2 STATIC token shifts at stride 2^l
+(pure VPU multiply-reduces). This is the PWC-Net neighborhood
+approximation of RAFT's lookup (offsets sample around neighboring
+tokens' warp targets rather than exact coordinate offsets); the corr
+feature layout and the parameter tree are unchanged.
 """
 from __future__ import annotations
 
@@ -12,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from videovanish_tpu.ops.flow import correlation_pyramid, lookup_corr
+from videovanish_tpu.ops.flow import bilinear_sample, local_corr
 
 
 class ResUnit(nn.Module):
@@ -116,7 +126,16 @@ class RaftLite(nn.Module):
                                   name="cnet")(img1))
         h8, w8 = f1.shape[1], f1.shape[2]
 
-        pyr = correlation_pyramid(f1, f2, self.corr_levels, self.corr_radius)
+        # f2 feature pyramid (== pooling RAFT's correlation volume over
+        # the f2 axis, by linearity of the correlation)
+        pyr = [f2]
+        for _ in range(self.corr_levels - 1):
+            p = pyr[-1]
+            ph, pw = p.shape[1] % 2, p.shape[2] % 2
+            if ph or pw:
+                p = jnp.pad(p, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            mode="edge")
+            pyr.append(nn.avg_pool(p, (2, 2), strides=(2, 2)))
 
         gy = jnp.arange(h8, dtype=jnp.float32)
         gx = jnp.arange(w8, dtype=jnp.float32)
@@ -129,10 +148,13 @@ class RaftLite(nn.Module):
 
         for _ in range(self.iters):
             coords = base + flow
-            corr_feats = [
-                lookup_corr(pyr[l], coords / (2 ** l), self.corr_radius)
-                for l in range(self.corr_levels)
-            ]
+            corr_feats = []
+            for l in range(self.corr_levels):
+                # sample pooled f2 at each token's warp target, then
+                # correlate against static token shifts at level stride
+                f2w = bilinear_sample(pyr[l], coords / (2 ** l))
+                corr_feats.append(local_corr(f1, f2w, self.corr_radius,
+                                             stride=2 ** l))
             corr = jnp.concatenate(corr_feats, axis=-1).astype(img1.dtype)
             h, dflow = update(h, corr, flow.astype(img1.dtype))
             flow = flow + dflow

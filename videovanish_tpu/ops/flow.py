@@ -43,6 +43,76 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out.astype(img.dtype)
 
 
+@jax.jit
+def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img at absolute (x, y) coords, zero padding.
+
+    img:    (B, H, W, C)
+    coords: (B, Ho, Wo, 2) — absolute pixel positions (x, y) in img space;
+            the output grid (Ho, Wo) is independent of (H, W).
+    Returns (B, Ho, Wo, C). The 4 taps are whole-row gathers (C on lanes)
+    — the TPU-friendly sampling primitive (scalar gathers are ~100x
+    slower on TPU).
+    """
+    B, H, W, C = img.shape
+    sx = coords[..., 0].astype(jnp.float32)
+    sy = coords[..., 1].astype(jnp.float32)
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    wx = sx - x0; wy = sy - y0
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = (yi * W + xi).reshape(B, -1, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+        return jnp.where(inb.reshape(B, -1, 1), vals, 0.0)
+
+    out = ((1 - wy) * (1 - wx)).reshape(B, -1, 1) * gather(y0, x0) \
+        + ((1 - wy) * wx).reshape(B, -1, 1) * gather(y0, x0 + 1) \
+        + (wy * (1 - wx)).reshape(B, -1, 1) * gather(y0 + 1, x0) \
+        + (wy * wx).reshape(B, -1, 1) * gather(y0 + 1, x0 + 1)
+    return out.reshape(B, coords.shape[1], coords.shape[2], C) \
+        .astype(img.dtype)
+
+
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift (B, H, W, C) by (dy, dx) tokens with zero padding:
+    out[i, j] = x[i + dy, j + dx]. Shifts past the grid are all-zero."""
+    B, H, W, C = x.shape
+    if abs(dy) >= H or abs(dx) >= W:
+        return jnp.zeros_like(x)
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    return jnp.pad(x[:, ys, xs], ((0, 0), pad_y, pad_x, (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "stride"))
+def local_corr(f1: jnp.ndarray, f2w: jnp.ndarray, radius: int = 4,
+               stride: int = 1) -> jnp.ndarray:
+    """Local correlation of f1 with token-shifted copies of f2w.
+
+    corr[b, i, (dy, dx)] = <f1[b, i], f2w[b, i + (dy, dx) * stride]> / sqrt(D)
+    for dy, dx in [-radius, radius]. All (2r+1)^2 shifts are STATIC
+    slices + one VPU multiply-reduce each — no gathers; this is how the
+    RAFT correlation lookup stays off the TPU's slow scalar-gather path.
+    Returns (B, H, W, (2r+1)^2).
+    """
+    D = f1.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    f1f = f1.astype(jnp.float32)
+    outs = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            sh = _shift2d(f2w, dy * stride, dx * stride).astype(jnp.float32)
+            outs.append(jnp.sum(f1f * sh, axis=-1))
+    return (jnp.stack(outs, axis=-1) * scale).astype(f1.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("num_levels", "radius"))
 def correlation_pyramid(f1: jnp.ndarray, f2: jnp.ndarray,
                         num_levels: int = 4, radius: int = 4):
