@@ -40,7 +40,11 @@ def cast_params_for_inference(params, compute_dtype=jnp.bfloat16):
     """Cast matmul/conv weights (ndim>=2) to the compute dtype for
     inference: on TPU this halves HBM weight traffic and feeds the MXU
     bf16 directly. 1-D leaves (norm scales/biases) stay f32 so
-    normalization math keeps full precision."""
+    normalization math keeps full precision.
+
+    The whole tree is cast in ONE jitted program: per-leaf .astype
+    dispatches cost a host-link round trip each through the axon
+    tunnel (hundreds of leaves = tens of seconds of init latency)."""
     import jax
 
     def cast(x):
@@ -48,7 +52,21 @@ def cast_params_for_inference(params, compute_dtype=jnp.bfloat16):
             return x.astype(compute_dtype)
         return x
 
-    return jax.tree.map(cast, params)
+    return jax.jit(lambda t: jax.tree.map(cast, t))(params)
+
+
+def zeros_like_shapes(shape_tree):
+    """Materialize a pytree of zeros from a tree of ShapeDtypeStructs in
+    ONE device program (a per-leaf jnp.zeros loop pays one remote
+    dispatch per leaf through the axon tunnel; measured ~60 s for the
+    SD-sized UNet tree)."""
+    import jax
+
+    def build():
+        return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                            shape_tree)
+
+    return jax.jit(build)()
 
 
 def policy_from_config(precision_cfg) -> Policy:

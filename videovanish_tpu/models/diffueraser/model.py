@@ -171,10 +171,10 @@ class DiffuEraser:
 
         zdec = jnp.zeros((1, 4, 4, lat), self.dtype)
         if mode == "zeros":
+            from videovanish_tpu.core.precision import zeros_like_shapes
+
             def zero_init(fn, *a):
-                shapes = jax.eval_shape(fn, *a)["params"]
-                return jax.tree.map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+                return zeros_like_shapes(jax.eval_shape(fn, *a)["params"])
 
             vae_enc = zero_init(functools.partial(
                 self.vae.init, method=self.vae.encode), kv, img)

@@ -100,9 +100,8 @@ class Propainter:
 
         def init(fn, *a):
             if big:
-                shapes = jax.eval_shape(fn, *a)["params"]
-                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                    shapes)
+                from videovanish_tpu.core.precision import zeros_like_shapes
+                return zeros_like_shapes(jax.eval_shape(fn, *a)["params"])
             return fn(*a)["params"]
 
         img = jnp.zeros((2, h, w, 3), self.dtype)

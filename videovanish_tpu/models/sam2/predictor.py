@@ -195,9 +195,8 @@ class Sam2VideoPredictor:
 
         def init(fn, *a):
             if big:
-                shapes = jax.eval_shape(fn, *a)["params"]
-                return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
-                                    shapes)
+                from videovanish_tpu.core.precision import zeros_like_shapes
+                return zeros_like_shapes(jax.eval_shape(fn, *a)["params"])
             return fn(*a)["params"]
 
         hiera_p = init(self.hiera.init, ks[0], img)
