@@ -120,6 +120,44 @@ def test_group_norm_matches_torch(rng):
     np.testing.assert_allclose(ours_silu, ref_silu, atol=1e-5)
 
 
+def test_bilinear_sample_matches_flow_warp(rng):
+    """bilinear_sample at grid+flow coords == flow_warp; and it supports
+    an output grid different from the input's."""
+    from videovanish_tpu.ops.flow import bilinear_sample, flow_warp
+    B, H, W, C = 2, 7, 9, 3
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    flow = jnp.asarray((rng.standard_normal((B, H, W, 2)) * 2)
+                       .astype(np.float32))
+    gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    coords = jnp.stack([gx + flow[..., 0], gy + flow[..., 1]], -1)
+    np.testing.assert_allclose(np.asarray(bilinear_sample(img, coords)),
+                               np.asarray(flow_warp(img, flow)), atol=1e-6)
+    # half-resolution output grid: integer coords return exact pixels
+    cs = jnp.stack(jnp.meshgrid(jnp.arange(0., W, 2.), jnp.arange(0., H, 2.),
+                                indexing="xy"), -1)[None].repeat(B, 0)
+    out = np.asarray(bilinear_sample(img, cs))
+    np.testing.assert_allclose(out, np.asarray(img)[:, ::2, ::2], atol=1e-6)
+
+
+def test_local_corr_matches_naive(rng):
+    from videovanish_tpu.ops.flow import local_corr
+    B, H, W, D, r, stride = 2, 6, 8, 5, 2, 2
+    f1 = rng.standard_normal((B, H, W, D)).astype(np.float32)
+    f2 = rng.standard_normal((B, H, W, D)).astype(np.float32)
+    out = np.asarray(local_corr(jnp.asarray(f1), jnp.asarray(f2), r, stride))
+    n = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            for (b, i, j) in [(0, 2, 3), (1, 0, 7), (1, 5, 0)]:
+                yi, xi = i + dy * stride, j + dx * stride
+                ref = 0.0
+                if 0 <= yi < H and 0 <= xi < W:
+                    ref = float(f1[b, i, j] @ f2[b, yi, xi]) / np.sqrt(D)
+                np.testing.assert_allclose(out[b, i, j, n], ref, atol=1e-5)
+            n += 1
+
+
 def test_flow_warp_identity_and_shift(rng):
     from videovanish_tpu.ops.flow import flow_warp
     B, H, W, C = 1, 8, 9, 3
