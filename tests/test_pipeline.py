@@ -70,16 +70,22 @@ class TestInfillPipeline:
         from videovanish_tpu.ops.composite import feathered_composite
         from videovanish_tpu.ops.morphology import binarize_and_dilate
         import jax.numpy as jnp
-        T, H, W = 4, 64, 64
+        # 96x96 with a 16-px mask: the auto-ROI (bbox +/- margin, snapped
+        # to 16) covers 64x64 < 96x96, so the ROI path is genuinely active
+        T, H, W = 4, 96, 96
         frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
         masks = np.zeros((T, H, W, 3), np.uint8)
-        masks[:, 24:40, 24:40, 1] = 255
+        masks[:, 40:56, 40:56, 1] = 255
         model, _ = tiny_pipeline._get_models("2-Step")
         dil = binarize_and_dilate(jnp.asarray(masks), 2)
         dil_list = list(np.asarray(dil))
-        full = model.forward(list(frames), dil_list, None, max_img_size=64)
-        part = model.forward(list(frames), dil_list, None, max_img_size=64,
+        full = model.forward(list(frames), dil_list, None, max_img_size=96)
+        part = model.forward(list(frames), dil_list, None, max_img_size=96,
                              output_roi="auto")
+        # proof the ROI was active: out-of-ROI pixels are the INPUT in the
+        # ROI run but VAE-roundtripped in the full run
+        np.testing.assert_array_equal(np.stack(part)[:, :8, :8], frames[:, :8, :8])
+        assert not np.array_equal(np.stack(full)[:, :8, :8], frames[:, :8, :8])
         def comp(x):
             return np.asarray(feathered_composite(
                 jnp.asarray(np.stack(x)), jnp.asarray(frames), dil,

@@ -273,8 +273,7 @@ class TestFullUNetOracle:
 
         bm = BrushNetModel(in_channels=9, block_out_channels=CH,
                            layers_per_block=LAYERS,
-                           num_attention_heads=HEADS,
-                           cross_attention_dim=CTX)
+                           num_attention_heads=HEADS)
         bd, bmid, bu = bm.apply({"params": _convert(tb)},
                                 jnp.asarray(np.transpose(bsamp, (0, 2, 3, 1))),
                                 jnp.asarray(t.numpy()), jnp.asarray(ctx), 1)

@@ -47,7 +47,6 @@ class BrushNetModel(nn.Module):
     block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     num_attention_heads: int = 8
-    cross_attention_dim: int = 768
     use_temporal: bool = True
     ring_mesh: object = None  # mesh for sequence-parallel temporal attention
     dtype: jnp.dtype = jnp.float32

@@ -34,29 +34,10 @@ from videovanish_tpu.models.diffueraser.scheduler import (
 from videovanish_tpu.models.diffueraser.unet import UNetCondition
 from videovanish_tpu.models.diffueraser.vae import AutoencoderKL
 from videovanish_tpu.ops.morphology import binary_dilation
-from videovanish_tpu.ops.resize import plan_long_side, resize_nearest_2d
-
-
-def _host_resize_bilinear_u8(frames: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Host-side INTER_LINEAR resize of (T,H,W,3) uint8 (same half-pixel
-    semantics as ops/resize.resize_bilinear; uint8 rounding only)."""
-    try:
-        import cv2
-        return np.stack([cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR)
-                         for f in frames])
-    except ImportError:  # pragma: no cover - cv2 ships with the package
-        from videovanish_tpu.ops.resize import resize_bilinear
-        out = resize_bilinear(jnp.asarray(frames), h, w)
-        return np.asarray(jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8))
-
-
-def _host_resize_nearest_2d(masks: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Host-side INTER_NEAREST resize of (T,H,W) uint8 (cv2 floor
-    semantics, matching ops/resize.resize_nearest_2d)."""
-    H, W = masks.shape[1], masks.shape[2]
-    ys = np.minimum(np.floor(np.arange(h) * (H / h)).astype(np.int64), H - 1)
-    xs = np.minimum(np.floor(np.arange(w) * (W / w)).astype(np.int64), W - 1)
-    return masks[:, ys[:, None], xs[None, :]]
+from videovanish_tpu.ops.resize import (
+    host_resize_bilinear_u8, host_resize_nearest_2d, plan_long_side,
+    resize_nearest_2d,
+)
 
 
 def make_window_plan(n_frames: int, clip_len: int, overlap: int):
@@ -331,7 +312,8 @@ class DiffuEraser:
     # ------------------------------------------------------------------
     def forward(self, frames, masks, prior_frames=None, max_img_size: int = 960,
                 mask_dilation_iter: int = 0, guidance_scale=None,
-                progress=None, prompt_embeds=None, output_roi=None):
+                progress=None, prompt_embeds=None, output_roi=None,
+                roi_margin: int = 16):
         """Inpaint `frames` where `masks` is nonzero, seeded by `prior_frames`.
 
         frames: list/array of (H0,W0,3) RGB uint8
@@ -342,14 +324,16 @@ class DiffuEraser:
             guided inpainting (models/diffueraser/text_encoder.py); the
             reference behavior (empty prompt, guidance 0) is the default.
         output_roi: None (default: fetch full decoded frames), "auto"
-            (the mask's bounding box + 16 px margin), or an explicit
+            (the mask's bounding box + `roi_margin` px), or an explicit
             (y0, y1, x0, x1) at inference resolution. With an ROI, only
             that window of each decoded frame crosses the (serial,
             ~15-50 MB/s) host link; pixels outside it are the resized
             INPUT pixels. This is exact for the default pipeline
-            (keep_unmasked_original, diffuerase.py:75-112): its feathered
-            alpha is identically 0 beyond feather_px outside the dilated
-            mask, so out-of-ROI model output is discarded anyway.
+            (keep_unmasked_original, diffuerase.py:75-112) as long as
+            roi_margin >= feather_px: the feathered alpha is identically
+            0 beyond feather_px outside the dilated mask, so out-of-ROI
+            model output is discarded anyway (the pipeline passes
+            roi_margin = 16 + feather_px).
         Returns list of (h,w,3) RGB uint8 at inference resolution (the
         pipeline layer composites/rescales back, as the reference does at
         diffuerase.py:70-112).
@@ -379,13 +363,13 @@ class DiffuEraser:
             masks = np.asarray(binary_dilation(jnp.asarray(masks),
                                                mask_dilation_iter))
         if (H0, W0) != (h, w):
-            frames = _host_resize_bilinear_u8(frames, h, w)
-            masks = _host_resize_nearest_2d(masks, h, w)
+            frames = host_resize_bilinear_u8(frames, h, w)
+            masks = host_resize_nearest_2d(masks, h, w)
 
         if prior_frames is not None:
             pf = np.stack([np.asarray(f) for f in prior_frames])
             if pf.shape[1:3] != (h, w):
-                pf = _host_resize_bilinear_u8(pf, h, w)
+                pf = host_resize_bilinear_u8(pf, h, w)
         else:
             pf = None  # no prior: prior latents == masked-input latents
 
@@ -393,12 +377,13 @@ class DiffuEraser:
         roi = None
         if output_roi is not None:
             if isinstance(output_roi, str) and output_roi == "auto":
+                mg = int(roi_margin)
                 ys, xs = np.nonzero(masks.any(axis=0))
                 if ys.size:
-                    y0 = int(ys.min()) - 16
-                    y1 = int(ys.max()) + 17
-                    x0 = int(xs.min()) - 16
-                    x1 = int(xs.max()) + 17
+                    y0 = int(ys.min()) - mg
+                    y1 = int(ys.max()) + mg + 1
+                    x0 = int(xs.min()) - mg
+                    x1 = int(xs.max()) + mg + 1
                 else:
                     y0 = y1 = x0 = x1 = 0
             else:
@@ -416,11 +401,11 @@ class DiffuEraser:
             self._get_jitted(clip_len)
 
         prog(5, "VAE-encoding frames")
-        # upload + encode in uint8 sub-batches, LAZILY per window: only
-        # the first window's frames are needed before denoising starts;
-        # later chunks' host->device transfers ride the tunnel while the
-        # device is busy denoising earlier windows. VAE activation memory
-        # stays bounded by the sub-batch size at high resolutions.
+        # upload + encode in uint8 sub-batches (VAE activation memory
+        # stays bounded by the sub-batch size at high resolutions); all
+        # chunks encode eagerly before denoising — lazy per-window
+        # encoding measured neutral-to-negative on this transport, where
+        # host->device transfers do not overlap device compute
         chunk = 8
         pad = (-T) % chunk
         fr_p = np.concatenate([frames, frames[-1:].repeat(pad, 0)], 0) \

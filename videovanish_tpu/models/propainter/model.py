@@ -216,19 +216,21 @@ class Propainter:
         # full-res staging used to dominate this model's wall clock).
         h, w = plan_long_side(H0, W0, self.cfg.max_img_size, 8)
         if (H0, W0) != (h, w):
-            from videovanish_tpu.models.diffueraser.model import (
-                _host_resize_bilinear_u8, _host_resize_nearest_2d,
+            from videovanish_tpu.ops.resize import (
+                host_resize_bilinear_u8, host_resize_nearest_2d,
             )
-            fr = _host_resize_bilinear_u8(frames, h, w)
-            mk = _host_resize_nearest_2d(
+            fr = host_resize_bilinear_u8(frames, h, w)
+            mk = host_resize_nearest_2d(
                 m_bool.astype(np.uint8), h, w) > 0
         else:
             fr, mk = frames, m_bool
 
         if T < 2:
             # degenerate single-frame case: nothing to propagate from;
-            # seed the hole with the unmasked mean color (stable prior)
-            known = ~mk[..., None]
+            # seed the hole with the unmasked mean color (stable prior).
+            # Works on the FULL-resolution frames/mask (no resize needed
+            # for a mean fill).
+            known = ~m_bool[..., None]
             f32 = frames.astype(np.float32)
             ksum = np.maximum(known.sum(axis=(1, 2), keepdims=True), 1.0)
             mean = (f32 * known).sum(axis=(1, 2), keepdims=True) / ksum
@@ -263,15 +265,8 @@ class Propainter:
         out = np.clip(np.rint(out / wsum), 0, 255).astype(np.uint8)
 
         if (H0, W0) != (h, w):
-            try:
-                import cv2
-                out = np.stack([cv2.resize(f, (W0, H0),
-                                           interpolation=cv2.INTER_LINEAR)
-                                for f in out])
-            except ImportError:  # pragma: no cover
-                outj = resize_bilinear(jnp.asarray(out, jnp.float32), H0, W0)
-                out = np.asarray(jnp.clip(jnp.rint(outj), 0, 255)
-                                 .astype(jnp.uint8))
+            from videovanish_tpu.ops.resize import host_resize_bilinear_u8
+            out = host_resize_bilinear_u8(out, H0, W0)
         return [out[i] for i in range(T)]
 
     __call__ = forward

@@ -606,9 +606,6 @@ class Sam2VideoPredictor:
 
         W0 = state["W0"]
 
-        def pack_binary(logits):
-            return _pack_binary_masks(logits)
-
         def unpack(arr):
             return np.unpackbits(arr, axis=-1)[:, :, :W0]
 
@@ -632,7 +629,7 @@ class Sam2VideoPredictor:
                 jnp.int32(write_slot), jnp.int32(ptr_slot),
                 jnp.bool_(is_cond))
 
-            dev = pack_binary(logits_full) if yield_binary else logits_full
+            dev = _pack_binary_masks(logits_full) if yield_binary else logits_full
             try:  # overlap this frame's host fetch with the next frame's
                 dev.copy_to_host_async()
             except Exception:

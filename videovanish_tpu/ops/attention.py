@@ -176,7 +176,6 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
     Sqp = _round_up(Sq, bq)
     Skp = _round_up(Sk, bk)
 
-    needs_mask = Skp != Sk
     # One extra head lane (free inside the 128-wide tile whenever D is
     # not a multiple of 128 — SD1.5's 40/80/160 all qualify) carries TWO
     # jobs on the MXU: q=1 x k∈{0,-inf} masks KV padding in the scores,

@@ -109,3 +109,32 @@ def plan_long_side(H: int, W: int, max_long_side: int, multiple_of: int = 8):
     out_h = max(multiple_of, int(round(H * scale / multiple_of)) * multiple_of)
     out_w = max(multiple_of, int(round(W * scale / multiple_of)) * multiple_of)
     return out_h, out_w
+
+
+# ---------------------------------------------------------------------------
+# host-side (numpy/cv2) variants for the staging edge: resizing BEFORE the
+# upload keeps bytes off the serial host link; semantics match the jitted
+# ops above (cv2 INTER_LINEAR / INTER_NEAREST), uint8 rounding aside.
+# ---------------------------------------------------------------------------
+def host_resize_bilinear_u8(frames, h: int, w: int):
+    """Host INTER_LINEAR resize of (T, H, W, 3) uint8."""
+    import numpy as np
+    try:
+        import cv2
+        return np.stack([cv2.resize(f, (w, h),
+                                    interpolation=cv2.INTER_LINEAR)
+                         for f in frames])
+    except ImportError:  # pragma: no cover - cv2 ships with the package
+        out = resize_bilinear(jnp.asarray(frames, jnp.float32), h, w)
+        import numpy as np
+        return np.asarray(jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8))
+
+
+def host_resize_nearest_2d(masks, h: int, w: int):
+    """Host INTER_NEAREST resize of (T, H, W) uint8/bool (cv2 floor
+    semantics, matching resize_nearest_2d)."""
+    import numpy as np
+    H, W = masks.shape[1], masks.shape[2]
+    ys = np.minimum(np.floor(np.arange(h) * (H / h)).astype(np.int64), H - 1)
+    xs = np.minimum(np.floor(np.arange(w) * (W / w)).astype(np.int64), W - 1)
+    return masks[:, ys[:, None], xs[None, :]]

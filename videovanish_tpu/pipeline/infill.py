@@ -146,8 +146,10 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                 progress=prog,
                 # the feathered composite zeroes alpha beyond feather_px
                 # outside the dilated mask, so only the mask's bounding
-                # box of the model output needs to cross the host link
+                # box (+ a feather-covering margin) of the model output
+                # needs to cross the host link
                 output_roi="auto" if keep_unmasked_original else None,
+                roi_margin=16 + int(np.ceil(feather_px)),
             )
 
         prog(90, "resizing and merging finished frames")
