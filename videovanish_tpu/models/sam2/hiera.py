@@ -151,6 +151,30 @@ class Hiera(nn.Module):
         pe_win = jnp.tile(win, (1, tiles_h, tiles_w, 1))[:, :H, :W]
         x = x + (pe + pe_win).astype(x.dtype)
 
+        # Layout management: the window partition/unpartition 6D
+        # transposes are expensive on TPU (measured ~6 ms per stage-2
+        # block pair at 1024^2), and everything in a block EXCEPT
+        # attention is per-token. So consecutive windowed blocks run in
+        # the PARTITIONED layout (windows ride the batch axis; each block
+        # is then just global attention over its ws x ws "image" —
+        # identical math and identical parameter tree), converting to the
+        # spatial layout only at q-pool entries, global-attention blocks,
+        # and stage outputs.
+        state = {"x": x, "ws": 0, "pad": None, "hw": None}
+
+        def to_spatial():
+            if state["ws"]:
+                state["x"] = window_unpartition(
+                    state["x"], state["ws"], state["pad"], state["hw"])
+                state["ws"] = 0
+
+        def to_windowed(ws):
+            if state["ws"] != ws:
+                to_spatial()
+                state["hw"] = (state["x"].shape[1], state["x"].shape[2])
+                state["x"], state["pad"] = window_partition(state["x"], ws)
+                state["ws"] = ws
+
         outputs = []
         dim = self.embed_dim
         heads = self.num_heads
@@ -166,9 +190,15 @@ class Hiera(nn.Module):
                 ws = self.window_spec[si - 1] if q_pool \
                     else self.window_spec[si]
                 wsz = 0 if blk in self.global_att_blocks else ws
-                x = MultiScaleBlock(dim, heads, wsz, q_pool=q_pool,
-                                    dtype=self.dtype,
-                                    name=f"blocks_{blk}")(x)
+                if q_pool or wsz == 0:
+                    to_spatial()
+                else:
+                    to_windowed(wsz)
+                    wsz = 0  # pre-windowed: global attention per window
+                state["x"] = MultiScaleBlock(dim, heads, wsz, q_pool=q_pool,
+                                             dtype=self.dtype,
+                                             name=f"blocks_{blk}")(state["x"])
                 blk += 1
-            outputs.append(x)
+            to_spatial()
+            outputs.append(state["x"])
         return outputs  # strides [4, 8, 16, 32]
