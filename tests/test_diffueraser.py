@@ -93,6 +93,35 @@ class TestDiffuEraserTiny:
         assert len(out) == T and out[0].shape == (40, 40, 3)
 
 
+class TestDevicePriorHandoff:
+    def test_device_prior_matches_host_prior(self, rng):
+        """A device-resident prior at the inference resolution matches
+        the same prior passed as host frames to within 1 uint8 LSB (the
+        two encode programs fuse the /255 normalization differently;
+        each path is individually deterministic)."""
+        import jax.numpy as jnp
+        from videovanish_tpu.config import tiny_config
+        from videovanish_tpu.models.diffueraser import DiffuEraser
+        model = DiffuEraser(config=tiny_config().diffueraser,
+                            init_mode="random")
+        T, H, W = 4, 64, 64
+        frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+        masks = np.zeros((T, H, W), np.uint8)
+        masks[:, 20:44, 20:44] = 255
+        prior = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+        a = model.forward(list(frames), list(masks), list(prior),
+                          max_img_size=64)
+        b = model.forward(list(frames), list(masks), jnp.asarray(prior),
+                          max_img_size=64)
+        diff = np.abs(np.stack(a).astype(np.int16)
+                      - np.stack(b).astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+        # and the device path is itself deterministic
+        c = model.forward(list(frames), list(masks), jnp.asarray(prior),
+                          max_img_size=64)
+        np.testing.assert_array_equal(np.stack(b), np.stack(c))
+
+
 class TestClassifierFreeGuidance:
     def test_guidance_zero_matches_default_and_nonzero_differs(self, rng):
         """guidance_scale=None/0 is the reference behavior

@@ -95,3 +95,18 @@ class TestPropainterTiny:
         # unmasked pixels preserved exactly
         np.testing.assert_array_equal(out[0], base)
         np.testing.assert_array_equal(out[3][:10, :10], base[:10, :10])
+
+    def test_single_frame_with_internal_resize(self, rng):
+        """T=1 mean-fill path at a size that triggers the internal
+        resize (regression: it used to mix the resized mask with the
+        full-resolution frames and crash)."""
+        from videovanish_tpu.models.propainter import Propainter
+        pp = Propainter(config=tiny_config().propainter)
+        H, W = 300, 300  # not a multiple of 8 -> plan_long_side differs
+        f = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        m = np.zeros((H, W), np.uint8)
+        m[100:150, 100:150] = 255
+        out = pp.forward([f], [m])
+        assert len(out) == 1 and out[0].shape == (H, W, 3)
+        np.testing.assert_array_equal(out[0][:50, :50], f[:50, :50])
+        assert (out[0][100:150, 100:150] != f[100:150, 100:150]).any()

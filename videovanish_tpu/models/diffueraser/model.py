@@ -36,8 +36,18 @@ from videovanish_tpu.models.diffueraser.vae import AutoencoderKL
 from videovanish_tpu.ops.morphology import binary_dilation
 from videovanish_tpu.ops.resize import (
     host_resize_bilinear_u8, host_resize_nearest_2d, plan_long_side,
-    resize_nearest_2d,
+    resize_bilinear, resize_nearest_2d,
 )
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _prior_to_rgb01(pf_u8, h, w):
+    """Device-resident prior (uint8, any resolution) -> rgb01 at the
+    inference resolution, entirely on device."""
+    x = pf_u8.astype(jnp.float32) / 255.0
+    if pf_u8.shape[1:3] != (h, w):
+        x = resize_bilinear(x, h, w)
+    return x
 
 
 def make_window_plan(n_frames: int, clip_len: int, overlap: int):
@@ -320,6 +330,9 @@ class DiffuEraser:
         masks:  list/array of (H0,W0) or (H0,W0,3) uint8, nonzero = hole
         prior_frames: low-frequency prior (ProPainter output); if None the
             masked regions are seeded from the masked-out input itself.
+            A DEVICE uint8 array (T, hp, wp, 3) is also accepted
+            (Propainter.forward(return_device=True)) and is resized +
+            VAE-encoded entirely on device — no host round trip.
         prompt_embeds: optional (77, D) CLIP text embedding for prompt-
             guided inpainting (models/diffueraser/text_encoder.py); the
             reference behavior (empty prompt, guidance 0) is the default.
@@ -366,12 +379,13 @@ class DiffuEraser:
             frames = host_resize_bilinear_u8(frames, h, w)
             masks = host_resize_nearest_2d(masks, h, w)
 
-        if prior_frames is not None:
+        pf = pf01_dev = None  # no prior: prior latents == masked latents
+        if isinstance(prior_frames, jnp.ndarray):
+            pf01_dev = _prior_to_rgb01(prior_frames, h, w)
+        elif prior_frames is not None:
             pf = np.stack([np.asarray(f) for f in prior_frames])
             if pf.shape[1:3] != (h, w):
                 pf = host_resize_bilinear_u8(pf, h, w)
-        else:
-            pf = None  # no prior: prior latents == masked-input latents
 
         # ---- optional ROI fetch (see docstring) ----
         roi = None
@@ -414,6 +428,9 @@ class DiffuEraser:
             if pad else masks
         pf_p = None if pf is None else (np.concatenate(
             [pf, pf[-1:].repeat(pad, 0)], 0) if pad else pf)
+        pf01_p = None if pf01_dev is None else (jnp.concatenate(
+            [pf01_dev, jnp.repeat(pf01_dev[-1:], pad, 0)], 0)
+            if pad else pf01_dev)
         lat_c, mlat_c, prior_c = [], [], []
 
         # bit-pack masks once: 8x fewer bytes over the serial host link
@@ -431,6 +448,9 @@ class DiffuEraser:
                 if pf_p is not None:
                     prior_c.append(encode_u8(
                         self.params, jnp.asarray(pf_p[i:i + chunk])))
+                elif pf01_p is not None:
+                    prior_c.append(encode(
+                        self.params, pf01_p[i:i + chunk]))
 
         # one noise tensor for the whole video: overlapping windows agree
         noise = jax.random.normal(jax.random.PRNGKey(self.seed),

@@ -132,6 +132,10 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                     subvideo_length=cfg.subvideo_length,
                     mask_dilation=0,
                     progress=prog,
+                    # device handoff: the prior stays on the chip and is
+                    # resized + VAE-encoded there (no full-res round trip
+                    # over the host link)
+                    return_device=True,
                 )
 
         prog(50, "running DiffuEraser")
