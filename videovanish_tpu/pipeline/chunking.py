@@ -31,28 +31,38 @@ from videovanish_tpu.video.staging import PrefetchingFrameSource
 
 
 def _chunk_plan(total: int, chunk: int, overlap: int):
-    """List of (start, end) half-open chunk windows with `overlap` shared."""
+    """List of (start, end) half-open chunk windows, `overlap` shared
+    between neighbors. Every chunk is EXACTLY `chunk` frames when
+    total > chunk (the tail window snaps back, widening its overlap):
+    a differently-sized last chunk would recompile the whole
+    prior+diffusion stack (~minutes through the remote compiler)."""
     if total <= chunk:
         return [(0, total)]
     stride = chunk - overlap
     plan = []
     s = 0
     while True:
-        e = min(s + chunk, total)
-        plan.append((s, e))
-        if e >= total:
+        if s + chunk >= total:
+            plan.append((total - chunk, total))
             break
-        s = e - overlap
+        plan.append((s, s + chunk))
+        s += stride
     return plan
 
 
-def _blend_ranges(plan, overlap):
+def _pair_overlaps(plan):
+    """overlaps[i] = frames chunk i shares with chunk i-1 (0 for i=0)."""
+    return [0] + [plan[i - 1][1] - plan[i][0] for i in range(1, len(plan))]
+
+
+def _blend_ranges(plan):
     """For each chunk, the frame range it FINALIZES: a chunk owns its
     leading overlap (after cross-fading with the previous chunk's tail)
     up to — but excluding — the overlap shared with the NEXT chunk."""
+    ovs = _pair_overlaps(plan)
     out = []
     for i, (s, e) in enumerate(plan):
-        out.append((s, e if i == len(plan) - 1 else e - overlap))
+        out.append((s, e if i == len(plan) - 1 else e - ovs[i + 1]))
     return out
 
 
@@ -86,7 +96,8 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
     assert n_total > 0, "No frames to process"
 
     plan = _chunk_plan(n_total, chunk, overlap)
-    finalize = _blend_ranges(plan, overlap)
+    pair_ov = _pair_overlaps(plan)
+    finalize = _blend_ranges(plan)
 
     job_id = hashlib.sha1(
         f"{os.path.abspath(color_video)}|{os.path.abspath(mask_video)}|"
@@ -128,10 +139,12 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
                 new_c, new_m = [], []
             frames = carry_c + new_c
             masks = carry_m + new_m
-            # keep the tail overlap for the next chunk
+            # keep the tail overlap for the next chunk (the last pair's
+            # overlap can exceed `overlap` when the tail window snaps)
             if ci < len(plan) - 1:
-                carry_c = frames[-overlap:] if overlap else []
-                carry_m = masks[-overlap:] if overlap else []
+                ov_next = pair_ov[ci + 1]
+                carry_c = frames[-ov_next:] if ov_next else []
+                carry_m = masks[-ov_next:] if ov_next else []
 
             if ci in manifest["completed"] and os.path.exists(chunk_npz):
                 prog(5 + 85 * (ci + 1) / len(plan),
@@ -165,10 +178,11 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
     for ci, (s, e) in enumerate(plan):
         with np.load(os.path.join(wd, f"chunk_{ci:05d}.npz")) as z:
             cur = z["frames"].astype(np.float32)
-        if prev_tail is not None and overlap:
-            w = ((np.arange(overlap) + 1.0) / (overlap + 1.0))
+        ov = pair_ov[ci]
+        if prev_tail is not None and ov:
+            w = ((np.arange(ov) + 1.0) / (ov + 1.0))
             w = w[:, None, None, None].astype(np.float32)
-            cur[:overlap] = prev_tail * (1.0 - w) + cur[:overlap] * w
+            cur[:ov] = prev_tail * (1.0 - w) + cur[:ov] * w
         lo, hi = finalize[ci]
         emit = cur[lo - s: hi - s]
         for f in emit:
@@ -176,7 +190,8 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
                 np.clip(np.rint(f), 0, 255).astype(np.uint8),
                 cv2.COLOR_RGB2BGR))
             n_written += 1
-        prev_tail = cur[-overlap:] if (overlap and ci < len(plan) - 1) else None
+        ov_next = pair_ov[ci + 1] if ci < len(plan) - 1 else 0
+        prev_tail = cur[-ov_next:] if ov_next else None
     writer.release()
     print(f"[ok] wrote {n_written} frames to {out_video}")
 
