@@ -17,7 +17,9 @@ from videovanish_tpu.models.diffueraser.model import (
 class TestScheduler:
     def test_pcm_timesteps(self):
         np.testing.assert_array_equal(pcm_timesteps(2), [999, 499])
-        np.testing.assert_array_equal(pcm_timesteps(4), [999, 749, 499, 249])
+        # published LCM/PCM grid subsampling (origin=50), not naive
+        # uniform spacing — see tests/test_scheduler_oracle.py
+        np.testing.assert_array_equal(pcm_timesteps(4), [999, 759, 519, 279])
 
     def test_schedule_matches_diffusers_formula(self):
         s = NoiseSchedule()

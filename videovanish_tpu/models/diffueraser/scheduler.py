@@ -56,11 +56,27 @@ class NoiseSchedule:
 
 
 def pcm_timesteps(num_inference_steps: int,
-                  num_train_timesteps: int = 1000) -> np.ndarray:
-    """Phase-boundary timesteps for N-step consistency sampling:
-    [999, 499] for 2 steps (LCM-style trailing spacing)."""
-    step = num_train_timesteps // num_inference_steps
-    ts = num_train_timesteps - 1 - step * np.arange(num_inference_steps)
+                  num_train_timesteps: int = 1000,
+                  original_inference_steps: int = 50) -> np.ndarray:
+    """Phase-boundary timesteps for N-step consistency sampling.
+
+    The published LCM/PCM derivation (Luo et al. 2023 §4.3, Wang et al.
+    2024; diffusers LCMScheduler.set_timesteps): the consistency model is
+    distilled against a grid of `original_inference_steps` teacher
+    timesteps  t_i = i * (T // origin) - 1  for i = 1..origin; inference
+    subsamples every (origin // N)-th of those from the end. For the
+    reference-pinned "2-Step" (diffuerase.py:37) this yields [999, 499]
+    — identical to naive uniform trailing spacing — but they diverge for
+    N=4 ([999, 759, 519, 279] vs the naive [999, 749, 499, 249]).
+    """
+    if num_inference_steps > original_inference_steps:
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} exceeds the "
+            f"distillation grid ({original_inference_steps})")
+    k = num_train_timesteps // original_inference_steps
+    origin_ts = np.arange(1, original_inference_steps + 1) * k - 1
+    skip = original_inference_steps // num_inference_steps
+    ts = origin_ts[::-1][::skip][:num_inference_steps]
     return ts.astype(np.int32)
 
 
@@ -71,23 +87,43 @@ def ddim_timesteps(num_inference_steps: int,
     return (np.arange(num_inference_steps) * step).round()[::-1].astype(np.int32)
 
 
+def boundary_scalings(t, timestep_scaling: float = 10.0,
+                      sigma_data: float = 0.5):
+    """LCM/PCM consistency boundary conditions c_skip(t), c_out(t)
+    (Song et al. 2023 eq. 7 discretized as in Luo et al. 2023 app. D;
+    diffusers LCMScheduler.get_scalings_for_boundary_condition_discrete):
+        s = timestep_scaling * t
+        c_skip = sigma_data^2 / (s^2 + sigma_data^2)
+        c_out  = s / sqrt(s^2 + sigma_data^2)
+    At SD timesteps (t >= 19) these are within f32 epsilon of (0, 1) —
+    kept for literal fidelity to the published algorithm."""
+    s = timestep_scaling * jnp.asarray(t, jnp.float32)
+    c_skip = sigma_data ** 2 / (s ** 2 + sigma_data ** 2)
+    c_out = s * jax.lax.rsqrt(s ** 2 + sigma_data ** 2)
+    return c_skip, c_out
+
+
 def consistency_step(schedule: NoiseSchedule, x_t, eps, t, t_next,
                      noise=None):
     """One PCM/LCM multistep transition.
 
-    Predict x0 from eps at t, then move to t_next by re-noising:
-    deterministic (DDIM eta=0, using predicted eps) when noise is None,
+    Predict x0 from eps at t, apply the consistency boundary scalings
+    (denoised = c_out * x0 + c_skip * x_t), then move to t_next by
+    re-noising: deterministic (PCM's published sampler — re-noise with
+    the *predicted* eps, the DDIM eta=0 transition) when noise is None,
     stochastic (LCM-style fresh noise) when noise is given.
-    t_next < 0 means final step -> return x0 prediction.
+    t_next < 0 means final step -> return the denoised prediction.
     """
     x0 = schedule.pred_x0_from_eps(x_t, eps, t)
+    c_skip, c_out = boundary_scalings(t)
+    denoised = c_out * x0 + c_skip * x_t.astype(jnp.float32)
     def final(_):
-        return x0
+        return denoised
     def renoise(_):
         src = eps.astype(jnp.float32) if noise is None else noise.astype(jnp.float32)
         a = schedule.sqrt_acp(t_next)
         s = schedule.sqrt_one_minus_acp(t_next)
-        return a * x0 + s * src
+        return a * denoised + s * src
     out = jax.lax.cond(t_next < 0, final, renoise, None)
     return out.astype(x_t.dtype)
 
