@@ -87,6 +87,27 @@ class CLIPTextModel(nn.Module):
         return x.astype(self.dtype)
 
 
+def derive_null_text_emb(clip_params, width: int = 768, layers: int = 12,
+                         num_heads: int = 12, vocab_size: int = 49408,
+                         max_positions: int = 77):
+    """Encode the empty prompt with a converted CLIP text encoder.
+
+    Returns (77, width) f32 — the real `null_text_emb` the reference's
+    guidance-0 pipeline conditions on (diffuerase.py:41-44,61), replacing
+    the random placeholder used before weights are ported. Runs on CPU
+    shapes; called once at checkpoint-assembly time (cli/convert.py)."""
+    model = CLIPTextModel(vocab_size=vocab_size, max_positions=max_positions,
+                          width=width, layers=layers, num_heads=num_heads)
+    # empty prompt = BOS + EOS-padding; CLIP vocabs place the specials at
+    # the end (bos = V-2, eos = V-1; 49406/49407 for the published vocab,
+    # tokenizer.null_text_ids), which generalizes to tiny test vocabs.
+    ids = np.asarray([vocab_size - 2] + [vocab_size - 1] * (max_positions - 1),
+                     np.int32)
+    ids = jnp.asarray(ids)[None]
+    out = model.apply({"params": clip_params}, ids)
+    return np.asarray(out[0], np.float32)
+
+
 # transformers CLIPTextModel state-dict -> this module (core/convert.py)
 CLIP_RULES = [
     (r"^text_model\.embeddings\.token_embedding\.", "token_embedding."),
