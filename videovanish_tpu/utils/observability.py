@@ -47,6 +47,21 @@ def _emit(event: str, **fields):
         lg.info(f"{event} {kv}")
 
 
+_STAGE_COLLECTORS: list[list] = []
+
+
+@contextlib.contextmanager
+def collect_stages(into: list):
+    """Capture stage_timer records in-process: appends
+    (stage, seconds, fields) tuples to `into` for the duration.
+    Used by bench.py to split end-to-end wall clock into stages."""
+    _STAGE_COLLECTORS.append(into)
+    try:
+        yield into
+    finally:
+        _STAGE_COLLECTORS.remove(into)
+
+
 @contextlib.contextmanager
 def stage_timer(stage: str, **fields):
     """Time a pipeline stage; emits a structured record and annotates the
@@ -54,8 +69,10 @@ def stage_timer(stage: str, **fields):
     t0 = time.perf_counter()
     with trace_annotation(stage):
         yield
-    _emit("stage", name=stage, seconds=round(time.perf_counter() - t0, 4),
-          **fields)
+    dt = time.perf_counter() - t0
+    for sink in _STAGE_COLLECTORS:
+        sink.append((stage, dt, fields))
+    _emit("stage", name=stage, seconds=round(dt, 4), **fields)
 
 
 @contextlib.contextmanager
