@@ -266,6 +266,20 @@ HF_SAM2_RULES: list[tuple[str, str]] = [
 ]
 
 
+# RAFT (raft-things.pth, DataParallel "module." prefix) -> propainter/raft.py
+# naming. Instance norms are parameter-free; batch norms keep running
+# stats as leaves (running_mean/running_var, FrozenBatchNorm).
+RAFT_RULES: list[tuple[str, str]] = [
+    (r"^module\.", ""),
+    (r"(^|\.)layer([123])\.([01])\.", r"\1layer\2_\3."),
+    (r"(^|\.)downsample\.0\.", r"\1downsample_conv."),
+    (r"(^|\.)downsample\.1\.", r"\1downsample_norm."),
+    (r"(^|\.)mask\.0\.", r"\1mask_0."),
+    (r"(^|\.)mask\.2\.", r"\1mask_2."),
+    (r"num_batches_tracked$", None),
+]
+
+
 def convert_torch_file(path: str, rules, out_path: str = None,
                        special=()):
     """Load a .pt/.pth/.safetensors file and convert. Torch stays a

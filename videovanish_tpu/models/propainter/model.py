@@ -30,7 +30,7 @@ from videovanish_tpu.models.propainter.flow_completion import FlowCompletion
 from videovanish_tpu.models.propainter.propagation import (
     bidirectional_propagation,
 )
-from videovanish_tpu.models.propainter.raft import RaftLite
+from videovanish_tpu.models.propainter.raft import RAFT
 from videovanish_tpu.models.propainter.transformer import SparseTransformer
 from videovanish_tpu.ops.morphology import binary_dilation
 from videovanish_tpu.ops.resize import (
@@ -79,9 +79,9 @@ class Propainter:
         self.dtype = compute_dtype if jax.default_backend() == "tpu" \
             else jnp.float32
         cfg = self.cfg
-        self.raft = RaftLite(feat_ch=cfg.flow_hidden * 2,
-                             hidden=max(32, cfg.flow_hidden),
-                             iters=cfg.raft_iters, dtype=self.dtype)
+        # exact published RAFT (raft-things weight-compatible); volumes
+        # are quadratic in tokens, bounded by cfg.max_img_size=432
+        self.raft = RAFT(iters=cfg.raft_iters, dtype=self.dtype)
         self.flow_comp = FlowCompletion(ch=max(32, cfg.channels // 2),
                                         dtype=self.dtype)
         self.encoder = FeatEncoder(cfg.channels, dtype=self.dtype)

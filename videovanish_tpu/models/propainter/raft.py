@@ -1,20 +1,24 @@
-"""RAFT-style optical flow, flax/NHWC ([external] per SURVEY.md §2c:
-the ProPainter prior starts from RAFT flow between consecutive frames).
+"""RAFT optical flow (Teed & Deng 2020), flax/NHWC — the exact published
+architecture so the `raft-things.pth` weights ProPainter pins load
+directly (reference call chain: diffuerase.py:49-57 -> ProPainter ->
+vendored RAFT_bi [external]). Scope names mirror the torch checkpoint
+keys (module.fnet / cnet / update_block...) so core/convert.py's
+RAFT_RULES stay a pure name map; parity is gated per-module against a
+hand-written torch oracle (tests/test_propainter_oracle.py).
 
-TPU-first: the refinement loop is a GRU unrolled a static number of
-times (config.raft_iters) so the whole estimator is one XLA program.
-The correlation features avoid RAFT's precomputed all-pairs volume +
-per-token window gather entirely — that lookup is ~2.4e9 SCALAR gathers
-per 48-frame chunk and measured 32.6 s on a v5e. Because correlation is
-linear in f2, average-pooling the correlation volume over the f2 axis
-equals correlating against average-pooled f2 FEATURES; so each
-iteration (a) bilinear-warps each pooled f2 level to the current flow
-(whole-row gathers, the fast TPU sampling primitive) and (b) takes a
-local correlation against (2r+1)^2 STATIC token shifts at stride 2^l
-(pure VPU multiply-reduces). This is the PWC-Net neighborhood
-approximation of RAFT's lookup (offsets sample around neighboring
-tokens' warp targets rather than exact coordinate offsets); the corr
-feature layout and the parameter tree are unchanged.
+TPU-first lookup: RAFT's correlation lookup is, per level, a bilinear
+sample of a per-query (Hl, Wl) correlation plane at 81 offsets around
+the warp target. Scalar gathers are the one thing TPUs do badly, so the
+volume is built ONCE per pair on the MXU (an all-pairs einsum — exactly
+torch's matmul volume), and each iteration's lookup is decomposed as
+  rows:  take_along_axis over the y axis (whole-row gathers of the
+         128-lane-tiled Wl minor dim — the fast gather shape), then
+  cols:  a one-hot contraction over Wl (VPU multiply-reduce, no gather),
+  blend: the shared-floor bilinear trick — the 81 offsets of one query
+         share a single (wx, wy) fractional weight, so (2r+2)^2 integer
+         taps reconstruct all 81 bilinear samples exactly.
+Zero-padding semantics match torch grid_sample(align_corners=True,
+padding_mode='zeros') bit-for-bit in exact arithmetic.
 """
 from __future__ import annotations
 
@@ -22,143 +26,279 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from videovanish_tpu.ops.flow import bilinear_sample, local_corr
+
+def instance_norm(x, eps: float = 1e-5):
+    """torch nn.InstanceNorm2d(affine=False): per-sample, per-channel
+    normalization over H, W (biased variance), no learned affine."""
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
-class ResUnit(nn.Module):
-    ch: int
+class FrozenBatchNorm(nn.Module):
+    """torch BatchNorm2d in eval mode: running stats are parameters."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = self.param("running_mean", nn.initializers.zeros, (C,),
+                          jnp.float32)
+        var = self.param("running_var", nn.initializers.ones, (C,),
+                         jnp.float32)
+        xf = x.astype(jnp.float32)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+class ResidualBlock(nn.Module):
+    planes: int
     stride: int = 1
+    norm: str = "instance"  # instance | batch | none
     dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, name):
+        if self.norm == "batch":
+            return FrozenBatchNorm(name=name)
+        if self.norm == "instance":
+            return instance_norm
+        return lambda x: x
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                     padding=1, dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32,
-                                 name="norm1")(h).astype(x.dtype))
-        h = nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
-        h = nn.GroupNorm(num_groups=8, dtype=jnp.float32,
-                         name="norm2")(h).astype(x.dtype)
-        if self.stride != 1 or x.shape[-1] != self.ch:
-            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride),
-                        dtype=self.dtype, name="short")(x)
-        return nn.relu(x + h)
+        y = nn.relu(self._norm("norm1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(y)
+        y = nn.relu(self._norm("norm2")(y))
+        if self.stride != 1:
+            x = nn.Conv(self.planes, (1, 1),
+                        strides=(self.stride, self.stride),
+                        dtype=self.dtype, name="downsample_conv")(x)
+            x = self._norm("downsample_norm")(x)
+        return nn.relu(x + y)
 
 
-class FlowEncoder(nn.Module):
-    """RGB -> 1/8-resolution features."""
-    out_ch: int = 128
+class BasicEncoder(nn.Module):
+    """RAFT feature/context encoder: 7x7/2 stem + 3 residual stages
+    (64, 96/2, 128/2) + 1x1 head -> 1/8 resolution."""
+    output_dim: int = 256
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        c = self.out_ch
-        h = nn.Conv(c // 2, (7, 7), strides=(2, 2), padding=3,
-                    dtype=self.dtype, name="conv1")(x)
-        h = nn.relu(nn.GroupNorm(num_groups=8, dtype=jnp.float32,
-                                 name="norm1")(h).astype(x.dtype))
-        h = ResUnit(c // 2, dtype=self.dtype, name="res1")(h)
-        h = ResUnit(c * 3 // 4, stride=2, dtype=self.dtype, name="res2")(h)
-        h = ResUnit(c, stride=2, dtype=self.dtype, name="res3")(h)
-        return nn.Conv(c, (1, 1), dtype=self.dtype, name="out")(h)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, dtype=self.dtype,
+                    name="conv1")(x)
+        if self.norm == "batch":
+            h = FrozenBatchNorm(name="norm1")(h)
+        elif self.norm == "instance":
+            h = instance_norm(h)
+        h = nn.relu(h)
+        for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)],
+                                             start=1):
+            h = ResidualBlock(planes, stride, self.norm, self.dtype,
+                              name=f"layer{i}_0")(h)
+            h = ResidualBlock(planes, 1, self.norm, self.dtype,
+                              name=f"layer{i}_1")(h)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name="conv2")(h)
 
 
-class ConvGRU(nn.Module):
-    hidden: int
+class BasicMotionEncoder(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(nn.Conv(256, (1, 1), dtype=self.dtype,
+                              name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=self.dtype,
+                              name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=self.dtype,
+                              name="convf1")(flow.astype(corr.dtype)))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=self.dtype,
+                              name="convf2")(flo))
+        out = nn.relu(nn.Conv(126, (3, 3), padding=1, dtype=self.dtype,
+                              name="conv")(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    hidden: int = 128
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden, (3, 3), padding=1,
-                               dtype=self.dtype, name="convz")(hx)
-                       .astype(jnp.float32))
-        r = nn.sigmoid(nn.Conv(self.hidden, (3, 3), padding=1,
-                               dtype=self.dtype, name="convr")(hx)
-                       .astype(jnp.float32))
-        q = nn.tanh(nn.Conv(self.hidden, (3, 3), padding=1,
-                            dtype=self.dtype, name="convq")(
-            jnp.concatenate([r.astype(h.dtype) * h, x], axis=-1))
-            .astype(jnp.float32))
-        return ((1 - z) * h.astype(jnp.float32) + z * q).astype(h.dtype)
+        def gate(name, kern, pad, inp):
+            return nn.Conv(self.hidden, kern, padding=pad, dtype=self.dtype,
+                           name=name)(inp).astype(jnp.float32)
+
+        for suffix, kern, pad in [("1", (1, 5), ((0, 0), (2, 2))),
+                                  ("2", (5, 1), ((2, 2), (0, 0)))]:
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(gate(f"convz{suffix}", kern, pad, hx))
+            r = nn.sigmoid(gate(f"convr{suffix}", kern, pad, hx))
+            q = jnp.tanh(gate(
+                f"convq{suffix}", kern, pad,
+                jnp.concatenate([r.astype(h.dtype) * h, x], axis=-1)))
+            h = ((1 - z) * h.astype(jnp.float32) + z * q).astype(h.dtype)
+        return h
 
 
-class UpdateBlock(nn.Module):
-    hidden: int = 96
+class FlowHead(nn.Module):
+    hidden: int = 256
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, corr_feat, flow):
-        cf = nn.relu(nn.Conv(96, (1, 1), dtype=self.dtype,
-                             name="corr_enc")(corr_feat))
-        ff = nn.relu(nn.Conv(32, (7, 7), padding=3, dtype=self.dtype,
-                             name="flow_enc")(flow))
-        x = jnp.concatenate([cf, ff], axis=-1)
-        x = nn.relu(nn.Conv(self.hidden - 2, (3, 3), padding=1,
-                            dtype=self.dtype, name="mix")(x))
-        x = jnp.concatenate([x, flow.astype(x.dtype)], axis=-1)
-        h = ConvGRU(self.hidden, dtype=self.dtype, name="gru")(h, x)
-        dflow = nn.Conv(2, (3, 3), padding=1, dtype=self.dtype,
-                        name="flow_head")(
-            nn.relu(nn.Conv(128, (3, 3), padding=1, dtype=self.dtype,
-                            name="flow_head_1")(h)))
-        return h, dflow.astype(jnp.float32)
+    def __call__(self, x):
+        h = nn.relu(nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype,
+                            name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv2")(h).astype(jnp.float32)
 
 
-class RaftLite(nn.Module):
-    """Estimate flow from frame1 -> frame2 at 1/8 res, upsampled x8."""
-    feat_ch: int = 128
-    hidden: int = 96
-    iters: int = 12
+class BasicUpdateBlock(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(dtype=self.dtype, name="encoder")(
+            flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = SepConvGRU(128, dtype=self.dtype, name="gru")(net, x)
+        dflow = FlowHead(256, dtype=self.dtype, name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="mask_0")(net))
+        m = nn.Conv(64 * 9, (1, 1), dtype=self.dtype, name="mask_2")(m)
+        return net, 0.25 * m.astype(jnp.float32), dflow
+
+
+# ---------------------------------------------------------------------------
+# correlation volume + lookup
+# ---------------------------------------------------------------------------
+def corr_volume_pyramid(f1, f2, num_levels: int = 4):
+    """All-pairs correlation volume + avg-pooled pyramid over f2 dims.
+
+    f1, f2: (B, h, w, C). Returns list of (B, h*w, Hl, Wl) f32 volumes,
+    already scaled by 1/sqrt(C) (torch CorrBlock.corr). Pooling matches
+    torch avg_pool2d(2, 2): floor mode, odd edges dropped.
+    """
+    B, h, w, C = f1.shape
+    corr = jnp.einsum("bxc,byc->bxy", f1.reshape(B, h * w, C),
+                      f2.reshape(B, h * w, C),
+                      preferred_element_type=jnp.float32)
+    corr = corr.astype(jnp.float32) / jnp.sqrt(jnp.float32(C))
+    vols = [corr.reshape(B, h * w, h, w)]
+    for _ in range(num_levels - 1):
+        v = vols[-1]
+        Hl, Wl = v.shape[2], v.shape[3]
+        v = v[:, :, : 2 * (Hl // 2), : 2 * (Wl // 2)]
+        v = v.reshape(B, v.shape[1], Hl // 2, 2, Wl // 2, 2).mean((3, 5))
+        vols.append(v)
+    return vols
+
+
+def corr_lookup(vols, coords, radius: int = 4):
+    """Sample each level's per-query correlation plane at the 81 integer
+    offsets around coords/2^l with bilinear weights (zero padding).
+
+    coords: (B, h, w, 2) (x, y) in level-0 token units.
+    Returns (B, h, w, num_levels*(2r+1)^2) f32, channels ordered exactly
+    as torch RAFT: level-major, then x-offset-major (see CorrBlock's
+    meshgrid(dy, dx) quirk: the first offset axis is applied to x).
+    """
+    B, h, w, _ = coords.shape
+    q = h * w
+    r = radius
+    taps_rng = jnp.arange(-r, r + 2)  # 2r+2 shared-floor integer taps
+    out = []
+    for lvl, V in enumerate(vols):
+        Hl, Wl = V.shape[2], V.shape[3]
+        c = coords.reshape(B, q, 2).astype(jnp.float32) / (2 ** lvl)
+        x0 = jnp.floor(c[..., 0])
+        y0 = jnp.floor(c[..., 1])
+        wx = (c[..., 0] - x0)[..., None, None]
+        wy = (c[..., 1] - y0)[..., None, None]
+        # y rows: whole-row gathers (minor dim Wl rides along)
+        yi = y0[..., None].astype(jnp.int32) + taps_rng
+        yok = (yi >= 0) & (yi < Hl)
+        rows = jnp.take_along_axis(
+            V, jnp.clip(yi, 0, Hl - 1)[..., None], axis=2)
+        rows = rows * yok[..., None]
+        # x columns: one-hot contraction (out-of-range -> no match -> 0)
+        xi = x0[..., None].astype(jnp.int32) + taps_rng
+        onehot = (xi[..., None] == jnp.arange(Wl)).astype(rows.dtype)
+        taps = jnp.einsum("bqyw,bqxw->bqyx", rows, onehot)
+        # shared-floor bilinear blend of the 4 integer corners
+        t00 = taps[..., :-1, :-1]
+        t01 = taps[..., :-1, 1:]
+        t10 = taps[..., 1:, :-1]
+        t11 = taps[..., 1:, 1:]
+        vals = ((1 - wy) * (1 - wx) * t00 + (1 - wy) * wx * t01
+                + wy * (1 - wx) * t10 + wy * wx * t11)  # (B,q,dy,dx)
+        vals = vals.transpose(0, 1, 3, 2).reshape(B, q, (2 * r + 1) ** 2)
+        out.append(vals)
+    return jnp.concatenate(out, axis=-1).reshape(B, h, w, -1)
+
+
+def upsample_flow_convex(flow, mask):
+    """RAFT convex upsampling: 8x via learned 3x3-neighborhood weights.
+
+    flow: (B, h, w, 2); mask: (B, h, w, 576) = 9 * 8 * 8 (torch channel
+    order: neighbor k outer, then the 8x8 sub-pixel grid).
+    """
+    B, h, w, _ = flow.shape
+    m = mask.reshape(B, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    f8 = (8.0 * flow).astype(jnp.float32)
+    pad = jnp.pad(f8, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    nbr = jnp.stack([pad[:, dy:dy + h, dx:dx + w, :]
+                     for dy in range(3) for dx in range(3)], axis=3)
+    up = jnp.einsum("bhwkij,bhwkc->bhwijc", m, nbr)  # (B,h,w,8,8,2)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    """Full RAFT (large config: hdim=cdim=128, corr 4x4). Input images in
+    [-1, 1] (the vendored RAFT_bi's convention); returns full-resolution
+    flow img1 -> img2. H, W must be multiples of 8."""
+    iters: int = 20
     corr_levels: int = 4
     corr_radius: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, img1, img2):
-        """img1/img2: (B, H, W, 3) in [-1, 1]. Returns (B, H, W, 2) flow."""
-        B, H, W, _ = img1.shape
-        enc = FlowEncoder(self.feat_ch, dtype=self.dtype, name="fnet")
-        f1 = enc(img1)
-        f2 = enc(img2)
-        ctx = nn.relu(FlowEncoder(self.hidden, dtype=self.dtype,
-                                  name="cnet")(img1))
+    def __call__(self, image1, image2):
+        B, H, W, _ = image1.shape
+        fnet = BasicEncoder(256, "instance", self.dtype, name="fnet")
+        f12 = fnet(jnp.concatenate([image1, image2], axis=0))
+        f1, f2 = f12[:B], f12[B:]
+        cnet = BasicEncoder(256, "batch", self.dtype, name="cnet")(image1)
+        net = jnp.tanh(cnet[..., :128].astype(jnp.float32)) \
+            .astype(image1.dtype)
+        inp = nn.relu(cnet[..., 128:])
+
+        vols = corr_volume_pyramid(f1.astype(jnp.float32),
+                                   f2.astype(jnp.float32), self.corr_levels)
+
         h8, w8 = f1.shape[1], f1.shape[2]
-
-        # f2 feature pyramid (== pooling RAFT's correlation volume over
-        # the f2 axis, by linearity of the correlation)
-        pyr = [f2]
-        for _ in range(self.corr_levels - 1):
-            p = pyr[-1]
-            ph, pw = p.shape[1] % 2, p.shape[2] % 2
-            if ph or pw:
-                p = jnp.pad(p, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                            mode="edge")
-            pyr.append(nn.avg_pool(p, (2, 2), strides=(2, 2)))
-
-        gy = jnp.arange(h8, dtype=jnp.float32)
         gx = jnp.arange(w8, dtype=jnp.float32)
-        base = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)  # (h,w,2)
+        gy = jnp.arange(h8, dtype=jnp.float32)
+        base = jnp.stack(jnp.meshgrid(gx, gy, indexing="xy"), axis=-1)
         base = jnp.broadcast_to(base[None], (B, h8, w8, 2))
 
+        update = BasicUpdateBlock(dtype=self.dtype, name="update_block")
         flow = jnp.zeros((B, h8, w8, 2), jnp.float32)
-        h = jnp.tanh(ctx.astype(jnp.float32)).astype(img1.dtype)
-        update = UpdateBlock(self.hidden, dtype=self.dtype, name="update")
-
+        up_mask = None
         for _ in range(self.iters):
-            coords = base + flow
-            corr_feats = []
-            for l in range(self.corr_levels):
-                # sample pooled f2 at each token's warp target, then
-                # correlate against static token shifts at level stride
-                f2w = bilinear_sample(pyr[l], coords / (2 ** l))
-                corr_feats.append(local_corr(f1, f2w, self.corr_radius,
-                                             stride=2 ** l))
-            corr = jnp.concatenate(corr_feats, axis=-1).astype(img1.dtype)
-            h, dflow = update(h, corr, flow.astype(img1.dtype))
+            corr = corr_lookup(vols, base + flow, self.corr_radius) \
+                .astype(image1.dtype)
+            net, up_mask, dflow = update(net, inp, corr,
+                                         flow.astype(image1.dtype))
             flow = flow + dflow
-
-        flow_full = jax.image.resize(
-            flow * 8.0, (B, H, W, 2), method="bilinear")
-        return flow_full
+        return upsample_flow_convex(flow, up_mask)
