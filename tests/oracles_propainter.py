@@ -229,3 +229,552 @@ class RAFT(nn.Module):
             net, up_mask, delta = self.update_block(net, inp, corr, flow)
             coords1 = coords1 + delta
         return self.upsample_flow(coords1 - coords0, up_mask)
+
+
+# ---------------------------------------------------------------------------
+# modulated deformable convolution (torchvision layout, pure-torch
+# reference since torchvision is absent on this host)
+# ---------------------------------------------------------------------------
+def modulated_deform_conv2d_ref(x, offset, mask, weight, bias, padding=1):
+    """x (B,Cin,H,W); offset (B, 2*G*K, H, W) channels ordered
+    2*(g*K+k)+{0:dy,1:dx}; mask (B, G*K, H, W); weight (Cout,Cin,kh,kw).
+    Bilinear sampling with zero padding, stride/dilation 1."""
+    B, Cin, H, W = x.shape
+    Cout, _, kh, kw = weight.shape
+    K = kh * kw
+    G = mask.shape[1] // K
+    cg = Cin // G
+    off = offset.view(B, G, K, 2, H, W)
+    m = mask.view(B, G, K, H, W)
+    by, bx = torch.meshgrid(torch.arange(H).float(),
+                            torch.arange(W).float(), indexing="ij")
+    cols = []
+    for k in range(K):
+        ky, kx = k // kw - padding, k % kw - padding
+        per_g = []
+        for g in range(G):
+            sy = by + ky + off[:, g, k, 0]
+            sx = bx + kx + off[:, g, k, 1]
+            grid = torch.stack([2 * sx / (W - 1) - 1,
+                                2 * sy / (H - 1) - 1], dim=-1)
+            samp = F.grid_sample(x[:, g * cg:(g + 1) * cg], grid,
+                                 align_corners=True, padding_mode="zeros")
+            per_g.append(samp * m[:, g, k:k + 1])
+        cols.append(torch.cat(per_g, dim=1))  # (B, Cin, H, W) at tap k
+    s = torch.stack(cols, dim=1)  # (B, K, Cin, H, W)
+    w = weight.permute(0, 2, 3, 1).reshape(Cout, K, Cin)  # (O, k, c)
+    out = torch.einsum("bkchw,okc->bohw", s, w)
+    return out + bias.view(1, -1, 1, 1)
+
+
+class SecondOrderDeformableAlignment(nn.Module):
+    """BasicVSR++/ProPainter-style alignment head + modulated deform
+    conv, with the deform weight/bias as direct parameters (matching
+    the checkpoint's `deform_align.<name>.weight` keys)."""
+
+    def __init__(self, in_channels, out_channels, cond_channels,
+                 deform_groups=16, max_residue_magnitude=3.0):
+        super().__init__()
+        self.deform_groups = deform_groups
+        self.max_residue_magnitude = max_residue_magnitude
+        self.conv_offset = nn.Sequential(
+            nn.Conv2d(cond_channels, out_channels, 3, 1, 1),
+            nn.LeakyReLU(0.1, inplace=True),
+            nn.Conv2d(out_channels, out_channels, 3, 1, 1),
+            nn.LeakyReLU(0.1, inplace=True),
+            nn.Conv2d(out_channels, out_channels, 3, 1, 1),
+            nn.LeakyReLU(0.1, inplace=True),
+            nn.Conv2d(out_channels, 27 * deform_groups, 3, 1, 1),
+        )
+        self.weight = nn.Parameter(torch.randn(out_channels, in_channels,
+                                               3, 3) * 0.02)
+        self.bias = nn.Parameter(torch.zeros(out_channels))
+
+    def forward(self, x, cond, flow=None):
+        out = self.conv_offset(cond)
+        o1, o2, mask = torch.chunk(out, 3, dim=1)
+        offset = self.max_residue_magnitude * torch.tanh(
+            torch.cat((o1, o2), dim=1))
+        if flow is not None:
+            offset = offset + flow.flip(1).repeat(1, offset.size(1) // 2,
+                                                  1, 1)
+        mask = torch.sigmoid(mask)
+        return modulated_deform_conv2d_ref(x, offset, mask, self.weight,
+                                           self.bias)
+
+
+# ---------------------------------------------------------------------------
+# RecurrentFlowCompleteNet
+# ---------------------------------------------------------------------------
+def deconv(in_ch, out_ch, kernel_size=3, padding=0):
+    return nn.Sequential(
+        nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
+        nn.Conv2d(in_ch, out_ch, kernel_size, stride=1, padding=padding))
+
+
+class P3DBlock(nn.Module):
+    def __init__(self, in_ch, out_ch, kernel_size, stride, padding):
+        super().__init__()
+        self.conv1 = nn.Sequential(nn.Conv3d(
+            in_ch, out_ch, (1, kernel_size, kernel_size),
+            (1, stride, stride), (0, padding, padding)))
+        self.conv2 = nn.Sequential(nn.Conv3d(
+            out_ch, out_ch, (3, 1, 1), (1, 1, 1), (2, 0, 0),
+            dilation=(2, 1, 1)))
+
+    def forward(self, x):
+        return self.conv2(self.conv1(x))
+
+
+class FlowCompPropagation(nn.Module):
+    """Second-order deformable propagation, no flow guidance."""
+
+    def __init__(self, channel):
+        super().__init__()
+        self.channel = channel
+        self.deform_align = nn.ModuleDict()
+        self.backbone = nn.ModuleDict()
+        for i, module in enumerate(["backward_", "forward_"]):
+            self.deform_align[module] = SecondOrderDeformableAlignment(
+                2 * channel, channel, 3 * channel, deform_groups=16)
+            self.backbone[module] = nn.Sequential(
+                nn.Conv2d((2 + i) * channel, channel, 3, 1, 1),
+                nn.LeakyReLU(0.1, inplace=True),
+                nn.Conv2d(channel, channel, 3, 1, 1))
+        self.fusion = nn.Conv2d(2 * channel, channel, 1, 1, 0)
+
+    def forward(self, x):
+        b, t, c, h, w = x.shape
+        feats = {"spatial": [x[:, i] for i in range(t)]}
+        for module in ["backward_", "forward_"]:
+            feats[module] = []
+            frame_idx = list(range(t))
+            if "backward" in module:
+                frame_idx = frame_idx[::-1]
+            feat_prop = x.new_zeros(b, self.channel, h, w)
+            for i, idx in enumerate(frame_idx):
+                feat_current = feats["spatial"][idx]
+                if i > 0:
+                    cond_n1 = feat_prop
+                    feat_n2 = torch.zeros_like(feat_prop)
+                    cond_n2 = torch.zeros_like(cond_n1)
+                    if i > 1:
+                        feat_n2 = feats[module][-2]
+                        cond_n2 = feat_n2
+                    cond = torch.cat([cond_n1, feat_current, cond_n2], 1)
+                    feat_prop = self.deform_align[module](
+                        torch.cat([feat_prop, feat_n2], 1), cond)
+                fe = [feat_current] + [feats[k][idx] for k in feats
+                                       if k not in ("spatial", module)] \
+                    + [feat_prop]
+                feat_prop = feat_prop + self.backbone[module](
+                    torch.cat(fe, 1))
+                feats[module].append(feat_prop)
+            if "backward" in module:
+                feats[module] = feats[module][::-1]
+        out = []
+        for i in range(t):
+            out.append(self.fusion(torch.cat(
+                [feats["backward_"][i], feats["forward_"][i]], 1)))
+        return torch.stack(out, 1) + x
+
+
+class RecurrentFlowCompleteNet(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.downsample = nn.Sequential(
+            nn.Conv3d(3, 32, (1, 5, 5), (1, 2, 2), (0, 2, 2),
+                      padding_mode="replicate"),
+            nn.LeakyReLU(0.2, inplace=True))
+        self.encoder1 = nn.Sequential(
+            P3DBlock(32, 32, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+            P3DBlock(32, 64, 3, 2, 1), nn.LeakyReLU(0.2, inplace=True))
+        self.encoder2 = nn.Sequential(
+            P3DBlock(64, 64, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+            P3DBlock(64, 128, 3, 2, 1), nn.LeakyReLU(0.2, inplace=True))
+        self.mid_dilation = nn.Sequential(
+            nn.Conv3d(128, 128, (1, 3, 3), (1, 1, 1), (0, 3, 3),
+                      dilation=(1, 3, 3)),
+            nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv3d(128, 128, (1, 3, 3), (1, 1, 1), (0, 2, 2),
+                      dilation=(1, 2, 2)),
+            nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv3d(128, 128, (1, 3, 3), (1, 1, 1), (0, 1, 1),
+                      dilation=(1, 1, 1)),
+            nn.LeakyReLU(0.2, inplace=True))
+        self.feat_prop_module = FlowCompPropagation(128)
+        self.decoder2 = nn.Sequential(
+            nn.Conv2d(128, 128, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+            deconv(128, 64, 3, 1), nn.LeakyReLU(0.2, inplace=True))
+        self.decoder1 = nn.Sequential(
+            nn.Conv2d(64, 64, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+            deconv(64, 32, 3, 1), nn.LeakyReLU(0.2, inplace=True))
+        self.upsample = nn.Sequential(
+            nn.Conv2d(32, 32, 3, padding=1),
+            nn.LeakyReLU(0.2, inplace=True),
+            deconv(32, 2, 3, 1))
+
+    def forward(self, masked_flows, masks):
+        # masked_flows (b, t, 2, h, w); masks (b, t, 1, h, w)
+        b, t, _, h, w = masked_flows.size()
+        inputs = torch.cat([masked_flows, masks], dim=2)
+        inputs = inputs.permute(0, 2, 1, 3, 4)  # (b, 3, t, h, w)
+        x = self.downsample(inputs)
+        e1 = self.encoder1(x)
+        e2 = self.encoder2(e1)
+        mid = self.mid_dilation(e2)
+        mid = mid.permute(0, 2, 1, 3, 4)  # (b, t, 128, h8, w8)
+        prop = self.feat_prop_module(mid)
+        prop = prop.reshape(-1, 128, h // 8, w // 8)
+        e1_2d = e1.permute(0, 2, 1, 3, 4).reshape(-1, 64, h // 4, w // 4)
+        d2 = self.decoder2(prop) + e1_2d
+        d1 = self.decoder1(d2)
+        flow = self.upsample(d1)
+        return flow.view(b, t, 2, h, w)
+
+
+# ---------------------------------------------------------------------------
+# InpaintGenerator (ProPainter.pth)
+# ---------------------------------------------------------------------------
+def flow_warp_t(x, flow, mode="bilinear"):
+    """ProPainter flow_warp: grid + flow, grid_sample zeros/align_corners.
+    x (B,C,H,W); flow (B,H,W,2) as (dx, dy)."""
+    B, C, H, W = x.shape
+    gy, gx = torch.meshgrid(torch.arange(H).float(),
+                            torch.arange(W).float(), indexing="ij")
+    vx = gx[None] + flow[..., 0]
+    vy = gy[None] + flow[..., 1]
+    grid = torch.stack([2 * vx / (W - 1) - 1, 2 * vy / (H - 1) - 1], dim=-1)
+    return F.grid_sample(x, grid, mode=mode, padding_mode="zeros",
+                         align_corners=True)
+
+
+def fb_consistency_check_t(flow_fw, flow_bw, alpha1=0.01, alpha2=0.5):
+    flow_bw_warped = flow_warp_t(flow_bw, flow_fw.permute(0, 2, 3, 1))
+    flow_diff = flow_fw + flow_bw_warped
+    norm = (flow_fw ** 2).sum(1, keepdim=True) \
+        + (flow_bw_warped ** 2).sum(1, keepdim=True)
+    thresh = alpha1 * norm + alpha2
+    return ((flow_diff ** 2).sum(1, keepdim=True) < thresh).float()
+
+
+class PPEncoder(nn.Module):
+    SPEC = ((64, 2, 1), (64, 1, 1), (128, 2, 1), (256, 1, 1), (384, 1, 1),
+            (512, 1, 2), (384, 1, 4), (256, 1, 8), (128, 1, 1))
+    GROUP = (1, 2, 4, 8, 1)
+    INCH = (5, 64, 64, 128, 256, 640, 768, 640, 512)
+
+    def __init__(self):
+        super().__init__()
+        layers = []
+        for (out_ch, st, g), in_ch in zip(self.SPEC, self.INCH):
+            layers.append(nn.Conv2d(in_ch, out_ch, 3, st, 1, groups=g))
+            layers.append(nn.LeakyReLU(0.2, inplace=True))
+        self.layers = nn.ModuleList(layers)
+
+    def forward(self, x):
+        bt = x.size(0)
+        out = x
+        for i, layer in enumerate(self.layers):
+            if i == 8:
+                x0 = out
+                _, _, h, w = x0.size()
+            if i > 8 and i % 2 == 0:
+                g = self.GROUP[(i - 8) // 2]
+                xg = x0.view(bt, g, -1, h, w)
+                og = out.view(bt, g, -1, h, w)
+                out = torch.cat([xg, og], 2).view(bt, -1, h, w)
+            out = layer(out)
+        return out
+
+
+class SoftSplit(nn.Module):
+    def __init__(self, channel, hidden):
+        super().__init__()
+        self.t2t = nn.Unfold((7, 7), padding=(3, 3), stride=(3, 3))
+        self.embedding = nn.Linear(channel * 49, hidden)
+
+    def forward(self, x, b, output_size):
+        fh = (output_size[0] + 6 - 7) // 3 + 1
+        fw = (output_size[1] + 6 - 7) // 3 + 1
+        feat = self.t2t(x).permute(0, 2, 1)
+        feat = self.embedding(feat)
+        return feat.view(b, -1, fh, fw, feat.size(2))
+
+
+class SoftComp(nn.Module):
+    def __init__(self, channel, hidden):
+        super().__init__()
+        self.embedding = nn.Linear(hidden, channel * 49)
+        self.bias_conv = nn.Conv2d(channel, channel, 3, 1, 1)
+
+    def forward(self, x, t, output_size):
+        b_ = x.size(0)
+        x = x.view(b_, -1, x.size(-1))
+        feat = self.embedding(x)
+        feat = feat.view(b_ * t, -1, feat.size(2)).permute(0, 2, 1)
+        feat = F.fold(feat, output_size=output_size, kernel_size=(7, 7),
+                      stride=(3, 3), padding=(3, 3))
+        return self.bias_conv(feat)
+
+
+class SparseWindowAttention(nn.Module):
+    def __init__(self, dim=512, n_head=4, window_size=(5, 9),
+                 pool_size=(4, 4)):
+        super().__init__()
+        self.key = nn.Linear(dim, dim)
+        self.query = nn.Linear(dim, dim)
+        self.value = nn.Linear(dim, dim)
+        self.proj = nn.Linear(dim, dim)
+        self.n_head = n_head
+        self.window_size = window_size
+        self.expand_size = tuple((i + 1) // 2 for i in window_size)
+        self.pool_layer = nn.Conv2d(dim, dim, kernel_size=pool_size,
+                                    stride=pool_size, padding=0, groups=dim)
+        wh, ww = window_size
+        e0, e1 = self.expand_size
+        ms = []
+        for corner in range(4):
+            m = torch.ones(wh, ww)
+            ys = slice(0, wh - e0) if corner < 2 else slice(e0, wh)
+            xs = slice(0, ww - e1) if corner % 2 == 0 else slice(e1, ww)
+            m[ys, xs] = 0
+            ms.append(m)
+        self.register_buffer(
+            "valid_ind_rolled",
+            torch.cat([m.flatten() for m in ms]).nonzero().view(-1),
+            persistent=False)
+
+    @staticmethod
+    def win_part(x, wh, ww):
+        # (T, H, W, C) -> (nW, T, wh*ww, C)
+        T, H, W, C = x.shape
+        x = x.view(T, H // wh, wh, W // ww, ww, C)
+        x = x.permute(1, 3, 0, 2, 4, 5)
+        return x.reshape((H // wh) * (W // ww), T, wh * ww, C)
+
+    def forward(self, x, t_ind):
+        # x: (T, H, W, C); attend-all-windows variant (mask=None path)
+        import math as _m
+        T, H, W, C = x.shape
+        wh, ww = self.window_size
+        e0, e1 = self.expand_size
+        hd = C // self.n_head
+        n_wh = -(-H // wh)
+        n_ww = -(-W // ww)
+        newH, newW = n_wh * wh, n_ww * ww
+        if (newH, newW) != (H, W):
+            x = F.pad(x, (0, 0, 0, newW - W, 0, newH - H))
+        q = self.query(x)
+        k = self.key(x)
+        v = self.value(x)
+        ks, vs = k[t_ind], v[t_ind]
+        win_q = self.win_part(q, wh, ww)
+        win_k = self.win_part(ks, wh, ww)
+        win_v = self.win_part(vs, wh, ww)
+        rolls = [(-e0, -e1), (-e0, e1), (e0, -e1), (e0, e1)]
+        k_roll = torch.cat([self.win_part(
+            torch.roll(ks, r, dims=(1, 2)), wh, ww) for r in rolls], dim=2)
+        v_roll = torch.cat([self.win_part(
+            torch.roll(vs, r, dims=(1, 2)), wh, ww) for r in rolls], dim=2)
+        k_roll = k_roll[:, :, self.valid_ind_rolled]
+        v_roll = v_roll[:, :, self.valid_ind_rolled]
+        pooled = self.pool_layer(
+            x[t_ind].permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+        pool_k = self.key(pooled).flatten(1, 2)  # (Tk, P, C)
+        pool_v = self.value(pooled).flatten(1, 2)
+        nW = n_wh * n_ww
+        pool_k = pool_k[None].expand(nW, -1, -1, -1)
+        pool_v = pool_v[None].expand(nW, -1, -1, -1)
+        k_all = torch.cat([win_k, k_roll, pool_k], dim=2)
+        v_all = torch.cat([win_v, v_roll, pool_v], dim=2)
+
+        def heads(a):
+            nWa, Ta, S, _ = a.shape
+            return a.reshape(nWa, Ta * S, self.n_head, hd) \
+                .permute(0, 2, 1, 3)
+
+        qh, kh_, vh = heads(win_q), heads(k_all), heads(v_all)
+        att = qh @ kh_.transpose(-2, -1) * (1.0 / _m.sqrt(hd))
+        att = att.softmax(-1)
+        out = (att @ vh).permute(0, 2, 1, 3) \
+            .reshape(nW, T, wh * ww, C)
+        out = out.view(n_wh, n_ww, T, wh, ww, C).permute(2, 0, 3, 1, 4, 5)
+        out = out.reshape(T, newH, newW, C)[:, :H, :W]
+        return self.proj(out)
+
+
+class FusionFeedForward(nn.Module):
+    def __init__(self, dim=512, hidden=1960):
+        super().__init__()
+        self.fc1 = nn.Sequential(nn.Linear(dim, hidden))
+        self.fc2 = nn.Sequential(nn.GELU(), nn.Linear(hidden, dim))
+
+    def forward(self, x, output_size):
+        # x: (T, L, dim)
+        T, L, _ = x.shape
+        x = self.fc1[0](x)
+        c = x.size(-1)
+        normalizer = x.new_ones(T, L, 49).permute(0, 2, 1)
+        normalizer = F.fold(normalizer, output_size=output_size,
+                            kernel_size=(7, 7), padding=(3, 3),
+                            stride=(3, 3))
+        folded = F.fold(x.permute(0, 2, 1), output_size=output_size,
+                        kernel_size=(7, 7), padding=(3, 3), stride=(3, 3))
+        x = F.unfold(folded / normalizer, kernel_size=(7, 7),
+                     padding=(3, 3), stride=(3, 3)).permute(0, 2, 1)
+        return self.fc2(x)
+
+
+class TemporalSparseTransformer(nn.Module):
+    def __init__(self, dim=512, n_head=4, window_size=(5, 9),
+                 pool_size=(4, 4)):
+        super().__init__()
+        self.attention = SparseWindowAttention(dim, n_head, window_size,
+                                               pool_size)
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = FusionFeedForward(dim)
+
+    def forward(self, x, fold_size, t_ind):
+        # x: (T, fh, fw, C)
+        T, fh, fw, C = x.shape
+        x = x + self.attention(self.norm1(x), t_ind)
+        y = self.norm2(x).view(T, fh * fw, C)
+        x = x + self.mlp(y, fold_size).view(T, fh, fw, C)
+        return x
+
+
+class TemporalSparseTransformerBlock(nn.Module):
+    def __init__(self, depths=8, dim=512, n_head=4, window_size=(5, 9),
+                 pool_size=(4, 4)):
+        super().__init__()
+        self.transformer = nn.ModuleList(
+            [TemporalSparseTransformer(dim, n_head, window_size, pool_size)
+             for _ in range(depths)])
+        self.depths = depths
+
+    def forward(self, x, fold_size, t_dilation=2):
+        T = x.size(0)
+        for i in range(self.depths):
+            t_ind = list(range(i % t_dilation, T, t_dilation))
+            x = self.transformer[i](x, fold_size, t_ind)
+        return x
+
+
+class LearnablePropagation(nn.Module):
+    """propainter.py BidirectionalPropagation (learnable=True)."""
+
+    def __init__(self, channel=128):
+        super().__init__()
+        self.channel = channel
+        self.deform_align = nn.ModuleDict()
+        self.backbone = nn.ModuleDict()
+        for module in ["backward_1", "forward_1"]:
+            self.deform_align[module] = SecondOrderDeformableAlignment(
+                channel, channel, 2 * channel + 2 + 1 + 2, deform_groups=16)
+            self.backbone[module] = nn.Sequential(
+                nn.Conv2d(2 * channel + 2, channel, 3, 1, 1),
+                nn.LeakyReLU(0.2, inplace=True),
+                nn.Conv2d(channel, channel, 3, 1, 1))
+        self.fuse = nn.Sequential(
+            nn.Conv2d(2 * channel + 2, channel, 3, 1, 1),
+            nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv2d(channel, channel, 3, 1, 1))
+
+    def forward(self, x, flows_forward, flows_backward, mask):
+        # x (b,t,c,h,w); flows (b,t-1,2,h,w); mask (b,t,2,h,w)
+        b, t, c, h, w = x.shape
+        feats = {"input": [x[:, i] for i in range(t)]}
+        masks = {"input": [mask[:, i] for i in range(t)]}
+        cache_list = ["input", "backward_1", "forward_1"]
+        for p_i, module in enumerate(["backward_1", "forward_1"]):
+            feats[module] = []
+            if "backward" in module:
+                frame_idx = list(range(t))[::-1]
+                flow_idx = frame_idx
+                flows_prop, flows_check = flows_forward, flows_backward
+            else:
+                frame_idx = list(range(t))
+                flow_idx = list(range(-1, t - 1))
+                flows_prop, flows_check = flows_backward, flows_forward
+            feat_prop = None
+            for i, idx in enumerate(frame_idx):
+                feat_current = feats[cache_list[p_i]][idx]
+                mask_current = masks["input"][idx]
+                if i == 0:
+                    feat_prop = feat_current
+                else:
+                    flow_prop = flows_prop[:, flow_idx[i]]
+                    flow_check = flows_check[:, flow_idx[i]]
+                    flow_valid = fb_consistency_check_t(flow_prop,
+                                                        flow_check)
+                    feat_warped = flow_warp_t(
+                        feat_prop, flow_prop.permute(0, 2, 3, 1))
+                    cond = torch.cat([feat_current, feat_warped, flow_prop,
+                                      flow_valid, mask_current], dim=1)
+                    feat_prop = self.deform_align[module](feat_prop, cond,
+                                                          flow_prop)
+                fe = torch.cat([feat_current, feat_prop, mask_current], 1)
+                feat_prop = feat_prop + self.backbone[module](fe)
+                feats[module].append(feat_prop)
+            if "backward" in module:
+                feats[module] = feats[module][::-1]
+        outputs_b = torch.stack(feats["backward_1"], 1).view(-1, c, h, w)
+        outputs_f = torch.stack(feats["forward_1"], 1).view(-1, c, h, w)
+        outputs = self.fuse(torch.cat(
+            [outputs_b, outputs_f, mask.view(-1, 2, h, w)], 1)) \
+            + x.view(-1, c, h, w)
+        return outputs.view(b, t, c, h, w)
+
+
+class InpaintGenerator(nn.Module):
+    def __init__(self, channel=128, hidden=512, depths=8):
+        super().__init__()
+        self.encoder = PPEncoder()
+        self.decoder = nn.Sequential(
+            deconv(channel, 128, 3, 1), nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv2d(128, 64, 3, 1, 1), nn.LeakyReLU(0.2, inplace=True),
+            deconv(64, 64, 3, 1), nn.LeakyReLU(0.2, inplace=True),
+            nn.Conv2d(64, 3, 3, 1, 1))
+        self.ss = SoftSplit(channel, hidden)
+        self.sc = SoftComp(channel, hidden)
+        self.feat_prop_module = LearnablePropagation(channel)
+        self.transformers = TemporalSparseTransformerBlock(depths, hidden)
+
+    def forward(self, masked_frames, completed_flows, masks_in,
+                masks_updated, num_local_frames, t_dilation=2):
+        l_t = num_local_frames
+        b, t, _, ori_h, ori_w = masked_frames.size()
+        enc_feat = self.encoder(torch.cat([
+            masked_frames.view(b * t, 3, ori_h, ori_w),
+            masks_in.view(b * t, 1, ori_h, ori_w),
+            masks_updated.view(b * t, 1, ori_h, ori_w)], dim=1))
+        _, c, h, w = enc_feat.size()
+        enc_feat = enc_feat.view(b, t, c, h, w)
+        local_feat, ref_feat = enc_feat[:, :l_t], enc_feat[:, l_t:]
+        ds_f = F.interpolate(completed_flows[0].view(-1, 2, ori_h, ori_w),
+                             scale_factor=0.25, mode="bilinear",
+                             align_corners=False).view(b, l_t - 1, 2, h,
+                                                       w) / 4.0
+        ds_b = F.interpolate(completed_flows[1].view(-1, 2, ori_h, ori_w),
+                             scale_factor=0.25, mode="bilinear",
+                             align_corners=False).view(b, l_t - 1, 2, h,
+                                                       w) / 4.0
+        ds_mask_in = F.interpolate(
+            masks_in.reshape(-1, 1, ori_h, ori_w), scale_factor=0.25,
+            mode="nearest").view(b, t, 1, h, w)
+        ds_mask_upd_l = F.interpolate(
+            masks_updated[:, :l_t].reshape(-1, 1, ori_h, ori_w),
+            scale_factor=0.25, mode="nearest").view(b, l_t, 1, h, w)
+        prop_mask = torch.cat([ds_mask_in[:, :l_t], ds_mask_upd_l], dim=2)
+        local_feat = self.feat_prop_module(local_feat, ds_f, ds_b,
+                                           prop_mask)
+        enc_feat = torch.cat([local_feat, ref_feat], dim=1)
+        trans = self.ss(enc_feat.view(-1, c, h, w), b, (h, w))[0]
+        trans = self.transformers(trans, (h, w), t_dilation)
+        trans = self.sc(trans[None], t, (h, w))
+        trans = trans.view(b, t, -1, h, w)
+        enc_feat = enc_feat + trans
+        output = self.decoder(enc_feat[:, :l_t].reshape(-1, c, h, w))
+        return torch.tanh(output).view(b, l_t, 3, ori_h, ori_w)

@@ -1,6 +1,10 @@
-"""ProPainter family: propagation correctness on synthetic translating
-content (known flow => exact fill), flow completion passthrough, and the
-full Propainter forward with the tiny config."""
+"""ProPainter family: published image-propagation semantics on synthetic
+scenes (known flow => exact fill), flow-completion driver behavior, and
+the full Propainter forward with the tiny config.
+
+Architecture parity vs torch oracles lives in test_propainter_oracle.py;
+these tests cover functional behavior of the assembled pipeline.
+"""
 import numpy as np
 import pytest
 
@@ -8,23 +12,21 @@ import jax.numpy as jnp
 
 from videovanish_tpu.config import tiny_config
 from videovanish_tpu.models.propainter.propagation import (
-    bidirectional_propagation, propagate_one_direction,
+    binary_mask, fb_consistency_check, image_propagation,
 )
 
 
-class TestPropagation:
+class TestImagePropagation:
     def test_static_scene_exact_fill(self, rng):
-        """Static scene, zero flow: a hole visible in frame 0 must be
-        filled exactly from frame 0 in later frames."""
+        """Static scene, zero flow: holes fill exactly from frame 0."""
         T, H, W = 4, 16, 16
         base = rng.random((H, W, 3)).astype(np.float32)
-        content = np.stack([base] * T)
         masks = np.zeros((T, H, W, 1), np.float32)
         masks[1:, 4:10, 4:10] = 1.0  # hole in frames 1..3
-        content = content * (1 - masks)  # zero out holes
+        content = np.stack([base] * T) * (1 - masks)
         flows = np.zeros((T - 1, H, W, 2), np.float32)
 
-        filled, remaining = bidirectional_propagation(
+        filled, remaining = image_propagation(
             jnp.asarray(content), jnp.asarray(masks),
             jnp.asarray(flows), jnp.asarray(flows))
         filled = np.asarray(filled)
@@ -33,47 +35,79 @@ class TestPropagation:
         assert np.asarray(remaining).max() < 1e-5
 
     def test_backward_fill_from_future(self, rng):
-        """Hole in frame 0, content known only in the last frame."""
+        """Hole in early frames, content known only in the last frame:
+        the backward (future -> past) pass must fill it."""
         T, H, W = 3, 12, 12
         base = rng.random((H, W, 3)).astype(np.float32)
         masks = np.zeros((T, H, W, 1), np.float32)
         masks[:2, 3:8, 3:8] = 1.0
         content = np.stack([base] * T) * (1 - masks)
         flows = np.zeros((T - 1, H, W, 2), np.float32)
-        filled, remaining = bidirectional_propagation(
+        filled, _ = image_propagation(
             jnp.asarray(content), jnp.asarray(masks),
             jnp.asarray(flows), jnp.asarray(flows))
         np.testing.assert_allclose(np.asarray(filled)[0, 3:8, 3:8],
                                    base[3:8, 3:8], atol=1e-5)
 
-    def test_unreachable_hole_stays(self, rng):
+    def test_unreachable_hole_stays(self):
         """Hole present in every frame: nothing to propagate from."""
         T, H, W = 3, 12, 12
         masks = np.ones((T, H, W, 1), np.float32)
         content = np.zeros((T, H, W, 3), np.float32)
         flows = np.zeros((T - 1, H, W, 2), np.float32)
-        _, remaining = bidirectional_propagation(
+        _, remaining = image_propagation(
             jnp.asarray(content), jnp.asarray(masks),
             jnp.asarray(flows), jnp.asarray(flows))
         assert np.asarray(remaining).min() > 0.99
 
+    def test_inconsistent_flow_blocks_fill(self, rng):
+        """Where forward/backward flows disagree, the consistency check
+        must veto propagation (published fbConsistencyCheck)."""
+        T, H, W = 2, 12, 12
+        base = rng.random((H, W, 3)).astype(np.float32)
+        masks = np.zeros((T, H, W, 1), np.float32)
+        masks[1, 3:8, 3:8] = 1.0
+        content = np.stack([base] * T) * (1 - masks)
+        flows_f = np.zeros((T - 1, H, W, 2), np.float32)
+        flows_b = np.full((T - 1, H, W, 2), 9.0, np.float32)  # inconsistent
+        _, remaining = image_propagation(
+            jnp.asarray(content), jnp.asarray(masks),
+            jnp.asarray(flows_f), jnp.asarray(flows_b))
+        # hole could not be filled (check failed both directions)
+        assert np.asarray(remaining)[1, 4:7, 4:7].min() > 0.99
 
-class TestFlowCompletion:
+    def test_fb_consistency_check_basic(self):
+        H, W = 8, 8
+        zero = jnp.zeros((1, H, W, 2))
+        assert float(fb_consistency_check(zero, zero).min()) == 1.0
+        big = jnp.full((1, H, W, 2), 5.0)
+        assert float(fb_consistency_check(big, big).max()) == 0.0
+        assert np.asarray(binary_mask(jnp.asarray([[0.05, 0.5]]))
+                          ).tolist() == [[0.0, 1.0]]
+
+
+class TestFlowCompletionDriver:
     def test_passthrough_outside_mask(self, rng):
-        from videovanish_tpu.models.propainter.flow_completion import (
-            FlowCompletion,
-        )
+        """forward_bidirect_flow: outside holes, the (unmasked) input
+        flow passes through bit-exact."""
         import jax
-        fc = FlowCompletion(ch=8)
-        flow = rng.standard_normal((1, 16, 16, 2)).astype(np.float32) * 3
-        mask = np.zeros((1, 16, 16, 1), np.float32)
-        mask[:, 4:8, 4:8] = 1.0
-        p = fc.init(jax.random.PRNGKey(0), jnp.asarray(flow),
-                    jnp.asarray(mask))["params"]
-        out = np.asarray(fc.apply({"params": p}, jnp.asarray(flow),
-                                  jnp.asarray(mask)))
-        outside = mask[..., 0] == 0
-        np.testing.assert_allclose(out[outside], flow[outside], atol=1e-5)
+        from videovanish_tpu.models.propainter.flow_completion import (
+            RecurrentFlowCompleteNet,
+        )
+        m = RecurrentFlowCompleteNet(base=8)
+        T, H, W = 3, 16, 16
+        ff = (rng.standard_normal((T - 1, H, W, 2)) * 3).astype(np.float32)
+        fb = (rng.standard_normal((T - 1, H, W, 2)) * 3).astype(np.float32)
+        masks = np.zeros((T, H, W, 1), np.float32)
+        masks[:, 4:8, 4:8] = 1.0
+        p = m.init(jax.random.PRNGKey(0), jnp.asarray(ff[:1]),
+                   jnp.asarray(masks[:1]))["params"]
+        out_f, out_b = m.apply({"params": p}, jnp.asarray(ff),
+                               jnp.asarray(fb), jnp.asarray(masks),
+                               method=m.forward_bidirect_flow)
+        hole = masks[:-1, ..., 0] > 0
+        np.testing.assert_allclose(np.asarray(out_f)[~hole], ff[~hole],
+                                   atol=1e-6)
 
 
 class TestPropainterTiny:

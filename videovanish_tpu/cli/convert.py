@@ -24,7 +24,8 @@ import argparse
 
 def _rules():
     from videovanish_tpu.core.convert import (
-        SAM2_RULES, SAM2_SPECIALS, UNET_RULES, UNET_SPECIALS, VAE_RULES,
+        FLOWCOMP_RULES, PROPAINTER_RULES, RAFT_RULES, SAM2_RULES,
+        SAM2_SPECIALS, UNET_RULES, UNET_SPECIALS, VAE_RULES,
     )
     from videovanish_tpu.models.diffueraser.text_encoder import (
         CLIP_RULES, CLIP_SPECIAL,
@@ -36,6 +37,10 @@ def _rules():
         "brushnet": (UNET_RULES, UNET_SPECIALS),
         "sam2": (SAM2_RULES, SAM2_SPECIALS),
         "clip": (CLIP_RULES, CLIP_SPECIAL),
+        # ProPainter's three weight files (reference diffuerase.py:49)
+        "raft": (RAFT_RULES, ()),
+        "flow_completion": (FLOWCOMP_RULES, ()),
+        "propainter": (PROPAINTER_RULES, ()),
         "raw": ([], ()),
     }
 

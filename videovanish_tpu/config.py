@@ -63,19 +63,33 @@ class Sam2Config:
 
 @dataclass(frozen=True)
 class ProPainterConfig:
-    """Flow-guided inpainting prior (reference call surface diffuerase.py:52-57)."""
-    checkpoint: str = "checkpoints/propainter.orbax"
+    """Flow-guided inpainting prior (reference call surface
+    diffuerase.py:52-57). Architecture dims follow the published
+    ProPainter checkpoints: three weight files like the reference's
+    (raft-things / recurrent_flow_completion / ProPainter)."""
+    checkpoint: str = "checkpoints/propainter.orbax"  # InpaintGenerator
+    raft_checkpoint: str = "checkpoints/raft_things.orbax"
+    flowcomp_checkpoint: str = "checkpoints/recurrent_flow_completion.orbax"
     ref_stride: int = 10
     neighbor_length: int = 10
     subvideo_length: int = 50
-    raft_iters: int = 12
+    raft_iters: int = 20  # published inference default (RAFT_bi iters)
     # internal processing resolution cap (long side), multiple of 8.
-    # Flow/propagation run at reduced resolution (as upstream ProPainter
-    # does): the all-pairs RAFT correlation is quadratic in tokens —
-    # 432 long side keeps a 50-frame subvideo's volumes in HBM.
+    # Flow/propagation run at reduced resolution: the all-pairs RAFT
+    # correlation is quadratic in tokens — 432 long side keeps a
+    # 50-frame subvideo's volumes in HBM.
     max_img_size: int = 432
-    flow_hidden: int = 128
+    # InpaintGenerator dims (128/512/8 are the published sizes; tiny
+    # config scales them down for CPU smoke)
     channels: int = 128
+    hidden: int = 512
+    depths: int = 8
+    num_heads: int = 4
+    window: tuple[int, int] = (5, 9)
+    pool: tuple[int, int] = (4, 4)
+    t_dilation: int = 2
+    ffn_channels: int = 40   # FusionFeedForward hidden = 49 * this
+    flowcomp_base: int = 32  # RecurrentFlowCompleteNet stem width
 
 
 @dataclass(frozen=True)
@@ -170,7 +184,8 @@ def tiny_config() -> VVConfig:
             vae_block_out_channels=(16, 32, 32, 32),
         ),
         propainter=ProPainterConfig(
-            max_img_size=256, raft_iters=4, flow_hidden=32, channels=32,
+            max_img_size=256, raft_iters=2, channels=32, hidden=128,
+            depths=2, ffn_channels=5, flowcomp_base=8,
             neighbor_length=4, ref_stride=4, subvideo_length=16,
         ),
         sam2=Sam2Config(

@@ -39,6 +39,11 @@ def t_conv_transpose(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 0, 1))
 
 
+def t_conv3d(w: np.ndarray) -> np.ndarray:
+    # torch Conv3d (O, I, kt, kh, kw) -> flax NDHWC kernel (kt, kh, kw, I, O)
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
 def t_linear(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
@@ -75,10 +80,12 @@ def set_in(tree: dict, path: list[str], value: np.ndarray) -> None:
 
 def _leaf_transform(torch_key: str, arr: np.ndarray):
     """Decide flax leaf name + layout transform from the torch key/shape."""
-    if torch_key.endswith(".bias"):
+    if torch_key.endswith(".bias") or torch_key == "bias":
         return "bias", t_identity
-    if not torch_key.endswith(".weight"):
+    if not (torch_key.endswith(".weight") or torch_key == "weight"):
         return torch_key.rsplit(".", 1)[-1], t_identity
+    if arr.ndim == 5:
+        return "kernel", t_conv3d
     if arr.ndim == 4:
         return "kernel", t_conv
     if arr.ndim == 2:
@@ -277,6 +284,46 @@ RAFT_RULES: list[tuple[str, str]] = [
     (r"(^|\.)mask\.0\.", r"\1mask_0."),
     (r"(^|\.)mask\.2\.", r"\1mask_2."),
     (r"num_batches_tracked$", None),
+]
+
+
+# recurrent_flow_completion.pth -> models/propainter/flow_completion.py
+FLOWCOMP_RULES: list[tuple[str, str]] = [
+    (r"^module\.", ""),
+    (r"^edgeDetector\.", None),  # training-only edge head
+    (r"^downsample\.0\.", "downsample_0."),
+    (r"^(encoder[12]|mid_dilation)\.(\d)\.", r"\1_\2."),
+    (r"\.conv([12])\.0\.", r".conv\1_0."),
+    (r"^(decoder[12]|upsample)\.0\.", r"\1_0."),
+    (r"^(decoder[12]|upsample)\.2\.1\.", r"\1_2.conv."),
+    (r"^feat_prop_module\.deform_align\.(backward_|forward_)\."
+     r"conv_offset\.(\d)\.",
+     r"feat_prop_module.step_\1.deform_align.conv_offset_\2."),
+    (r"^feat_prop_module\.deform_align\.(backward_|forward_)\.",
+     r"feat_prop_module.step_\1.deform_align."),
+    (r"^feat_prop_module\.backbone\.(backward_|forward_)\.([02])\.",
+     r"feat_prop_module.step_\1.backbone_\2."),
+]
+
+
+# ProPainter.pth (InpaintGenerator) -> models/propainter/inpaint_generator.py
+PROPAINTER_RULES: list[tuple[str, str]] = [
+    (r"^module\.", ""),
+    (r"^decoder\.0\.1\.", "decoder_0.conv."),
+    (r"^decoder\.2\.", "decoder_2."),
+    (r"^decoder\.4\.1\.", "decoder_4.conv."),
+    (r"^decoder\.6\.", "decoder_6."),
+    (r"\.deform_align\.(backward_1|forward_1)\.conv_offset\.(\d)\.",
+     r".step_\1.deform_align.conv_offset_\2."),
+    (r"\.deform_align\.(backward_1|forward_1)\.", r".step_\1.deform_align."),
+    (r"\.backbone\.(backward_1|forward_1)\.([02])\.",
+     r".step_\1.backbone_\2."),
+    (r"\.fuse\.([02])\.", r".fuse_\1."),
+    (r"\.transformer\.(\d+)\.", r".transformer_\1."),
+    (r"\.fc1\.0\.", ".fc1_0."),
+    (r"\.fc2\.1\.", ".fc2_1."),
+    # training-only heads, if present in the checkpoint
+    (r"^(discriminator|dis)\.", None),
 ]
 
 

@@ -5,20 +5,27 @@ Call surface mirrors the reference (ctor diffuerase.py:49, forward
 ref_stride=10, neighbor_length=10, subvideo_length=50, mask_dilation=0,
 progress) -> prior frames consumed by DiffuEraser.
 
-TPU-native structure (internals [external] per SURVEY.md §2c):
-  RAFT-lite flow (batched over all consecutive pairs, both directions,
-  one MXU-dense program) -> flow completion in the holes -> image-domain
-  bidirectional scan propagation -> feature-domain propagation + sparse
-  spatiotemporal transformer (neighbor window + strided global refs) ->
-  decode + composite. Sub-video chunking (subvideo_length) bounds memory
-  exactly like the reference's deps; chunks are padded to a fixed length
-  so every chunk reuses one compiled program.
+Pipeline (the published ProPainter inference graph [external], rebuilt
+TPU-native with the exact published architectures so the three real
+checkpoints load via core/convert.py):
+  1. RAFT flows for all consecutive pairs, both directions
+     (raft.py — raft-things.pth compatible; MXU correlation volumes)
+  2. recurrent flow completion in the holes
+     (flow_completion.py — recurrent_flow_completion.pth compatible)
+  3. image-domain bidirectional propagation with flow-consistency
+     checks (propagation.py, nearest warps)
+  4. InpaintGenerator over neighbor windows + strided global refs
+     (inpaint_generator.py — ProPainter.pth compatible: soft split,
+     sparse window transformer, flow-guided deformable propagation)
+Sub-video chunking (subvideo_length) bounds memory exactly like the
+reference; chunks are padded to a fixed length so every chunk reuses
+one compiled program, and window/ref selection is static per chunk so
+the generator compiles once.
 """
 from __future__ import annotations
 
 from typing import Optional
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,48 +33,16 @@ import numpy as np
 from videovanish_tpu.config import ProPainterConfig
 from videovanish_tpu.core.checkpoint import maybe_load
 from videovanish_tpu.core.prog import null_prog
-from videovanish_tpu.models.propainter.flow_completion import FlowCompletion
-from videovanish_tpu.models.propainter.propagation import (
-    bidirectional_propagation,
+from videovanish_tpu.models.propainter.flow_completion import (
+    RecurrentFlowCompleteNet,
 )
+from videovanish_tpu.models.propainter.inpaint_generator import (
+    InpaintGenerator,
+)
+from videovanish_tpu.models.propainter.propagation import image_propagation
 from videovanish_tpu.models.propainter.raft import RAFT
-from videovanish_tpu.models.propainter.transformer import SparseTransformer
 from videovanish_tpu.ops.morphology import binary_dilation
-from videovanish_tpu.ops.resize import (
-    plan_long_side, resize_bilinear, resize_nearest_2d,
-)
-
-
-class FeatEncoder(nn.Module):
-    ch: int = 128
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        h = nn.relu(nn.Conv(self.ch // 2, (3, 3), strides=(2, 2), padding=1,
-                            dtype=self.dtype, name="conv1")(x))
-        h = nn.relu(nn.Conv(self.ch, (3, 3), strides=(2, 2), padding=1,
-                            dtype=self.dtype, name="conv2")(h))
-        return nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv3")(h)
-
-
-class FeatDecoder(nn.Module):
-    ch: int = 128
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        B, H, W, C = x.shape
-        h = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        h = nn.relu(nn.Conv(self.ch // 2, (3, 3), padding=1,
-                            dtype=self.dtype, name="conv1")(h))
-        h = jax.image.resize(h, (B, H * 4, W * 4, self.ch // 2),
-                             method="nearest")
-        h = nn.relu(nn.Conv(self.ch // 4, (3, 3), padding=1,
-                            dtype=self.dtype, name="conv2")(h))
-        return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv_out")(h)
+from videovanish_tpu.ops.resize import plan_long_side
 
 
 class Propainter:
@@ -79,116 +54,156 @@ class Propainter:
         self.dtype = compute_dtype if jax.default_backend() == "tpu" \
             else jnp.float32
         cfg = self.cfg
-        # exact published RAFT (raft-things weight-compatible); volumes
-        # are quadratic in tokens, bounded by cfg.max_img_size=432
         self.raft = RAFT(iters=cfg.raft_iters, dtype=self.dtype)
-        self.flow_comp = FlowCompletion(ch=max(32, cfg.channels // 2),
-                                        dtype=self.dtype)
-        self.encoder = FeatEncoder(cfg.channels, dtype=self.dtype)
-        self.transformer = SparseTransformer(cfg.channels, depth=4,
-                                             dtype=self.dtype)
-        self.decoder = FeatDecoder(cfg.channels, dtype=self.dtype)
+        self.flow_comp = RecurrentFlowCompleteNet(base=cfg.flowcomp_base,
+                                                  dtype=self.dtype)
+        self.generator = InpaintGenerator(
+            channel=cfg.channels, hidden=cfg.hidden, depths=cfg.depths,
+            n_head=cfg.num_heads, window=tuple(cfg.window),
+            pool=tuple(cfg.pool), t_dilation=cfg.t_dilation,
+            ffn_channels=cfg.ffn_channels, dtype=self.dtype)
         self.params = params if params is not None else self._init_params(seed)
         self._jit = {}
 
     # ------------------------------------------------------------------
     def _init_params(self, seed: int):
         key = jax.random.PRNGKey(seed)
-        ks = jax.random.split(key, 5)
+        ks = jax.random.split(key, 3)
         big = self.cfg.channels > 64
-        h, w = 64, 64
 
-        def init(fn, *a):
-            if big:
+        def init(fn, *a, **kw):
+            if big:  # full-size nets: shape-only init (weights come from
+                # the converted checkpoints; random init would be slow)
                 from videovanish_tpu.core.precision import zeros_like_shapes
-                return zeros_like_shapes(jax.eval_shape(fn, *a)["params"])
-            return fn(*a)["params"]
+                return zeros_like_shapes(
+                    jax.eval_shape(fn, *a, **kw)["params"])
+            return fn(*a, **kw)["params"]
 
+        h, w = 64, 64
         img = jnp.zeros((2, h, w, 3), self.dtype)
+        l_t, T = 2, 3
         params = {
             "raft": init(self.raft.init, ks[0], img, img),
             "flow_comp": init(self.flow_comp.init, ks[1],
                               jnp.zeros((2, h, w, 2)),
                               jnp.zeros((2, h, w, 1))),
-            "encoder": init(self.encoder.init, ks[2],
-                            jnp.zeros((2, h, w, 5), self.dtype)),
-            "transformer": init(self.transformer.init, ks[3],
-                                jnp.zeros((2, h // 4, w // 4,
-                                           self.cfg.channels), self.dtype)),
-            "decoder": init(self.decoder.init, ks[4],
-                            jnp.zeros((2, h // 4, w // 4, self.cfg.channels),
-                                      self.dtype)),
+            "generator": init(
+                self.generator.init, ks[2],
+                jnp.zeros((T, h, w, 3), self.dtype),
+                (jnp.zeros((l_t - 1, h, w, 2)),
+                 jnp.zeros((l_t - 1, h, w, 2))),
+                jnp.zeros((T, h, w, 1)), jnp.zeros((T, h, w, 1)), l_t),
         }
-        loaded = maybe_load(self.cfg.checkpoint, like=params)
-        return loaded if loaded is not None else params
+        # three checkpoints, mirroring the reference's weight set
+        for name, path in (("raft", self.cfg.raft_checkpoint),
+                           ("flow_comp", self.cfg.flowcomp_checkpoint),
+                           ("generator", self.cfg.checkpoint)):
+            loaded = maybe_load(path, like=params[name])
+            if loaded is not None:
+                params[name] = loaded
+        return params
 
     # ------------------------------------------------------------------
-    def _chunk_fn(self, T: int, h: int, w: int,
-                  neighbor_length: int, ref_stride: int):
-        key = (T, h, w, neighbor_length, ref_stride)
+    def _stage1_fn(self, T: int, h: int, w: int):
+        """flows + completion + image propagation for one chunk."""
+        key = ("s1", T, h, w)
         if key in self._jit:
             return self._jit[key]
-
         raft, flow_comp = self.raft, self.flow_comp
-        encoder, transformer, decoder = (self.encoder, self.transformer,
-                                         self.decoder)
 
         @jax.jit
-        def run_chunk(params, frames_u8, mask_bits):
+        def stage1(params, frames_u8, mask_bits):
             """frames_u8: (T, h, w, 3) uint8; mask_bits: (T, h, w//8)
-            bit-packed mask. uint8 + packed bits over the serial host
-            link (~15-50 MB/s) instead of f32: 4x + 32x fewer bytes —
-            f32 staging alone used to cost more than all of ProPainter's
-            device compute at 480p."""
+            bit-packed mask (uint8 + packed bits over the serial host
+            link: 4x + 32x fewer bytes than f32 staging)."""
             frames01 = frames_u8.astype(jnp.float32) / 255.0
             shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
             bits = (mask_bits[..., None] >> shifts) & jnp.uint8(1)
-            masks1 = bits.reshape(frames01.shape[0], frames01.shape[1],
-                                  w).astype(jnp.float32)[..., None]
+            masks1 = bits.reshape(T, h, w).astype(jnp.float32)[..., None]
             imgs = (frames01 * 2.0 - 1.0).astype(self.dtype)
 
-            # 1. flows for all consecutive pairs, both directions, one batch
-            pair_a = jnp.concatenate([imgs[1:], imgs[:-1]], axis=0)
-            pair_b = jnp.concatenate([imgs[:-1], imgs[1:]], axis=0)
-            flows = raft.apply({"params": params["raft"]}, pair_a, pair_b)
-            flow_to_prev = flows[:T - 1]   # frame t -> t-1 (t = 1..T-1)
-            flow_to_next = flows[T - 1:]   # frame t -> t+1 (t = 0..T-2)
+            fl_f = raft.apply({"params": params["raft"]},
+                              imgs[:-1], imgs[1:])
+            fl_b = raft.apply({"params": params["raft"]},
+                              imgs[1:], imgs[:-1])
+            comp_f, comp_b = flow_comp.apply(
+                {"params": params["flow_comp"]}, fl_f, fl_b, masks1,
+                method=flow_comp.forward_bidirect_flow)
 
-            # 2. complete flows inside the holes
-            cf_prev = flow_comp.apply({"params": params["flow_comp"]},
-                                      flow_to_prev, masks1[1:])
-            cf_next = flow_comp.apply({"params": params["flow_comp"]},
-                                      flow_to_next, masks1[:-1])
+            masked = imgs.astype(jnp.float32) * (1.0 - masks1)
+            prop, upd_masks = image_propagation(masked, masks1,
+                                                comp_f, comp_b, "nearest")
+            updated = imgs.astype(jnp.float32) * (1.0 - masks1) \
+                + prop * masks1
+            return (frames01, masks1, updated.astype(self.dtype),
+                    upd_masks, comp_f, comp_b)
 
-            # 3. image-domain bidirectional propagation
-            prop_img, remaining = bidirectional_propagation(
-                frames01, masks1, cf_prev, cf_next)
+        self._jit[key] = stage1
+        return stage1
 
-            # 4. feature-domain: encode, propagate at 1/4, transform, decode
-            enc_in = jnp.concatenate(
-                [(prop_img * 2.0 - 1.0), masks1, remaining],
-                axis=-1).astype(self.dtype)
-            feat = encoder.apply({"params": params["encoder"]}, enc_in)
-            h4, w4 = feat.shape[1], feat.shape[2]
-            m4 = resize_nearest_2d(masks1[..., 0], h4, w4)[..., None]
-            r4 = resize_nearest_2d(remaining[..., 0], h4, w4)[..., None]
-            fl_prev4 = resize_bilinear(cf_prev, h4, w4) / 4.0
-            fl_next4 = resize_bilinear(cf_next, h4, w4) / 4.0
-            feat, _ = bidirectional_propagation(
-                feat.astype(jnp.float32), r4.astype(jnp.float32),
-                fl_prev4, fl_next4)
-            feat = transformer.apply({"params": params["transformer"]},
-                                     feat.astype(self.dtype))
-            dec = decoder.apply({"params": params["decoder"]}, feat)
-            dec01 = (dec.astype(jnp.float32) + 1.0) / 2.0
+    def _window_fn(self, NL: int, n_ref: int, h: int, w: int):
+        """InpaintGenerator over one neighbor window + refs."""
+        key = ("w", NL, n_ref, h, w)
+        if key in self._jit:
+            return self._jit[key]
+        gen = self.generator
 
-            pred = prop_img * (1.0 - remaining) + dec01 * remaining
-            out = frames01 * (1.0 - masks1) + pred * masks1
-            out = jnp.clip(out, 0.0, 1.0)
-            return jnp.clip(jnp.rint(out * 255.0), 0, 255).astype(jnp.uint8)
+        @jax.jit
+        def window(params, updated, upd_masks, masks1, comp_f, comp_b,
+                   start, ref_ids):
+            nb = jax.lax.dynamic_slice_in_dim(updated, start, NL)
+            nb_m_in = jax.lax.dynamic_slice_in_dim(masks1, start, NL)
+            nb_m_up = jax.lax.dynamic_slice_in_dim(upd_masks, start, NL)
+            fl_f = jax.lax.dynamic_slice_in_dim(comp_f, start, NL - 1)
+            fl_b = jax.lax.dynamic_slice_in_dim(comp_b, start, NL - 1)
+            if n_ref:
+                frames_sel = jnp.concatenate(
+                    [nb, jnp.take(updated, ref_ids, 0)], 0)
+                m_in = jnp.concatenate(
+                    [nb_m_in, jnp.take(masks1, ref_ids, 0)], 0)
+                m_up = jnp.concatenate(
+                    [nb_m_up, jnp.take(upd_masks, ref_ids, 0)], 0)
+            else:
+                frames_sel, m_in, m_up = nb, nb_m_in, nb_m_up
+            pred = gen.apply({"params": params["generator"]},
+                             frames_sel, (fl_f, fl_b), m_in, m_up, NL)
+            return (pred + 1.0) / 2.0  # [0, 1], (NL, h, w, 3)
 
-        self._jit[key] = run_chunk
-        return run_chunk
+        self._jit[key] = window
+        return window
+
+    # ------------------------------------------------------------------
+    def _run_chunk(self, fr, mk_bits, T, h, w, neighbor_length, ref_stride):
+        """One padded chunk -> composited prior frames (device f32 0..1)."""
+        stage1 = self._stage1_fn(T, h, w)
+        frames01, masks1, updated, upd_masks, comp_f, comp_b = stage1(
+            self.params, jnp.asarray(fr), jnp.asarray(mk_bits))
+
+        NL = min(T, neighbor_length + 1)
+        stride = max(1, neighbor_length // 2)
+        starts = list(range(0, max(T - NL, 0) + 1, stride))
+        if starts[-1] != T - NL:
+            starts.append(T - NL)
+        ref_candidates = [[i for i in range(0, T, max(1, ref_stride))
+                           if i < s or i >= s + NL] for s in starts]
+        n_ref = min(len(c) for c in ref_candidates)
+        run_w = self._window_fn(NL, n_ref, h, w)
+
+        acc = jnp.zeros((T, h, w, 3), jnp.float32)
+        wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        for s, cand in zip(starts, ref_candidates):
+            refs = jnp.asarray(cand[:n_ref], jnp.int32) if n_ref else \
+                jnp.zeros((0,), jnp.int32)
+            pred = run_w(self.params, updated, upd_masks, masks1,
+                         comp_f, comp_b, jnp.int32(s), refs)
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, s, NL)
+                + pred.astype(jnp.float32), s, 0)
+            wsum = jax.lax.dynamic_update_slice_in_dim(
+                wsum, jax.lax.dynamic_slice_in_dim(wsum, s, NL) + 1.0, s, 0)
+        pred_mean = acc / wsum
+        out01 = frames01 * (1.0 - masks1) + pred_mean * masks1
+        return jnp.clip(out01, 0.0, 1.0)
 
     # ------------------------------------------------------------------
     def forward(self, frames, masks, ref_stride: int = 10,
@@ -202,7 +217,7 @@ class Propainter:
         (T, h, w, 3) at the internal processing resolution, with the
         chunk blending done on device — the prior hands off to
         DiffuEraser without the ~2x full-resolution round trip over the
-        serial host link (and with one resample instead of two)."""
+        serial host link."""
         prog = progress or null_prog
         frames = np.stack([np.asarray(f) for f in frames])
         T, H0, W0 = frames.shape[:3]
@@ -219,8 +234,7 @@ class Propainter:
 
         # All staging is host-side + uint8: resize to the internal
         # processing resolution on host, ship uint8 frames + bit-packed
-        # masks, fetch uint8 (the host link is serial and slow; f32
-        # full-res staging used to dominate this model's wall clock).
+        # masks (the host link is serial and slow).
         h, w = plan_long_side(H0, W0, self.cfg.max_img_size, 8)
         if (H0, W0) != (h, w):
             from videovanish_tpu.ops.resize import (
@@ -235,8 +249,6 @@ class Propainter:
         if T < 2:
             # degenerate single-frame case: nothing to propagate from;
             # seed the hole with the unmasked mean color (stable prior).
-            # Works on the FULL-resolution frames/mask (no resize needed
-            # for a mean fill).
             known = ~m_bool[..., None]
             f32 = frames.astype(np.float32)
             ksum = np.maximum(known.sum(axis=(1, 2), keepdims=True), 1.0)
@@ -255,10 +267,8 @@ class Propainter:
         mk_bits = np.packbits(mk, axis=-1)
         sub = max(2, min(subvideo_length, T))
         overlap = min(4, sub // 2) if T > sub else 0
-        run = self._chunk_fn(sub, h, w, neighbor_length, ref_stride)
 
         # chunk blending accumulators: on device for the handoff path
-        # (nothing crosses the link), host numpy otherwise
         if return_device:
             out = jnp.zeros((T, h, w, 3), jnp.float32)
             wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
@@ -266,20 +276,22 @@ class Propainter:
             out = np.zeros((T, h, w, 3), np.float32)
             wsum = np.zeros((T, 1, 1, 1), np.float32)
         start = 0
-        n_chunks = max(1, -(-(T - overlap) // (sub - overlap))) if T > sub else 1
+        n_chunks = max(1, -(-(T - overlap) // (sub - overlap))) \
+            if T > sub else 1
         ci = 0
         while start < T:
             end = min(start + sub, T)
             s = max(0, end - sub)  # pad window back to full sub length
             prog(20 + 28 * ci / n_chunks, f"propainter chunk {ci + 1}")
-            chunk = run(self.params, jnp.asarray(fr[s:s + sub]),
-                        jnp.asarray(mk_bits[s:s + sub]))
+            chunk01 = self._run_chunk(fr[s:s + sub], mk_bits[s:s + sub],
+                                      sub, h, w, neighbor_length,
+                                      ref_stride)
+            chunk = chunk01 * 255.0
             if return_device:
-                out = out.at[s:s + sub].add(chunk.astype(jnp.float32))
+                out = out.at[s:s + sub].add(chunk)
                 wsum = wsum.at[s:s + sub].add(1.0)
             else:
-                chunk = np.asarray(chunk).astype(np.float32)
-                out[s:s + sub] += chunk
+                out[s:s + sub] += np.asarray(chunk)
                 wsum[s:s + sub] += 1.0
             ci += 1
             if end >= T:

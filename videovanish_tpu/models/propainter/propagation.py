@@ -1,69 +1,79 @@
-"""Flow-guided bidirectional propagation ([external] per SURVEY.md §2c:
-ProPainter's dual-domain propagation).
+"""Flow-guided image-domain propagation (ProPainter's non-learnable
+BidirectionalPropagation [external] — reference consumes it through the
+vendored package, diffuerase.py:49-57).
 
-Implemented as lax.scan over the frame axis (the recurrence is inherent —
-each frame fills from its already-filled neighbor), with all warps as
-batched bilinear gathers. Works on any channel count, so the same
-function propagates images (C=3) and encoder features (C=channels).
+Published semantics, exactly: backward pass (future -> past) then a
+forward pass consuming the backward pass's outputs; a pixel fills only
+where the current frame has a hole, the forward/backward flows pass the
+consistency check, and the source pixel is itself valid. Frames warp
+with nearest interpolation, masks with bilinear; every decision mask is
+re-binarized at 0.1 (the published `binary_mask`).
+
+TPU-first: each direction is one lax.scan over frames (the recurrence
+is inherent); warps are batched whole-row gathers.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
-from videovanish_tpu.ops.flow import flow_warp
+from videovanish_tpu.ops.flow import flow_warp, flow_warp_mode
 
 
-@functools.partial(jax.jit, static_argnames=())
-def propagate_one_direction(content, known, holes, flows):
-    """Sequential fill along the scan direction.
-
-    content: (T, H, W, C) — frames/features with holes
-    known:   (T, H, W, 1) f32 — 1 where content is valid
-    holes:   (T, H, W, 1) f32 — 1 where content must be filled
-    flows:   (T-1, H, W, 2) — flow from frame t to frame t-1 in scan order
-             (i.e. warp(prev, flows[t-1]) aligns prev into frame t)
-    Returns (filled_content, still_known) with holes filled where the
-    propagated source was valid.
-    """
-    def step(carry, inp):
-        prev_c, prev_k = carry
-        cur_c, cur_k, cur_h, flow = inp
-        warped_c = flow_warp(prev_c[None], flow[None])[0]
-        warped_k = flow_warp(prev_k[None], flow[None])[0]
-        ok = (warped_k > 0.95).astype(cur_c.dtype)
-        fill = cur_h * ok
-        new_c = cur_c * (1 - fill) + warped_c * fill
-        new_k = jnp.maximum(cur_k, fill)
-        return (new_c, new_k), (new_c, new_k)
-
-    init = (content[0], known[0])
-    (_, _), (out_c, out_k) = jax.lax.scan(
-        step, init, (content[1:], known[1:], holes[1:], flows))
-    return (jnp.concatenate([content[:1], out_c], axis=0),
-            jnp.concatenate([known[:1], out_k], axis=0))
+def binary_mask(m, th: float = 0.1):
+    return (m > th).astype(jnp.float32)
 
 
-@jax.jit
-def bidirectional_propagation(content, masks, flows_fwd, flows_bwd):
-    """Fill holes from the past, then from the future.
+def fb_consistency_check(flow_fw, flow_bw, alpha1=0.01, alpha2=0.5):
+    """1 where the backward flow warped by the forward flow cancels it."""
+    flow_bw_warped = flow_warp_mode(flow_bw, flow_fw, "bilinear")
+    flow_diff = flow_fw + flow_bw_warped
+    norm = (flow_fw ** 2).sum(-1, keepdims=True) \
+        + (flow_bw_warped ** 2).sum(-1, keepdims=True)
+    thresh = alpha1 * norm + alpha2
+    return ((flow_diff ** 2).sum(-1, keepdims=True) < thresh) \
+        .astype(jnp.float32)
 
-    content: (T, H, W, C); masks: (T, H, W, 1) 1=hole
-    flows_fwd: (T-1, H, W, 2) flow t -> t-1 ("backward flow", aligns t-1
-               into t) used for the forward-in-time pass
-    flows_bwd: (T-1, H, W, 2) flow t -> t+1 used for the backward pass
-    Returns (filled, remaining_hole_mask).
-    """
-    known = 1.0 - masks
-    holes = masks
 
-    f_c, f_k = propagate_one_direction(content, known, holes, flows_fwd)
+def _one_direction(feats, masks, flows_prop, flows_check,
+                   interpolation: str):
+    """feats (T,H,W,C), masks (T,H,W,1) holes, flows_* (T-1,H,W,2)
+    already ordered so step i>0 uses flows[i-1]."""
+    T, H, W, C = feats.shape
+    zero_fl = jnp.zeros((1, H, W, 2), jnp.float32)
+    fl_p = jnp.concatenate([zero_fl, flows_prop], 0)
+    fl_c = jnp.concatenate([zero_fl, flows_check], 0)
 
-    # backward pass on the time-reversed sequence
-    rb_c, rb_k = propagate_one_direction(
-        f_c[::-1], f_k[::-1], (1.0 - f_k)[::-1], flows_bwd[::-1])
-    out = rb_c[::-1]
-    out_k = rb_k[::-1]
-    return out, 1.0 - out_k
+    def step(carry, xs):
+        feat_prop, mask_prop, i = carry
+        feat_cur, mask_cur, f_p, f_c = xs
+        valid = fb_consistency_check(f_p[None], f_c[None])[0]
+        feat_warp = flow_warp_mode(feat_prop[None], f_p[None],
+                                   interpolation)[0]
+        mask_warp = binary_mask(flow_warp(mask_prop[None], f_p[None])[0])
+        union = binary_mask(mask_cur * valid * (1.0 - mask_warp))
+        f = union * feat_warp + (1.0 - union) * feat_cur
+        m = binary_mask(mask_cur * (1.0 - valid * (1.0 - mask_warp)))
+        f = jnp.where(i > 0, f, feat_cur)
+        m = jnp.where(i > 0, m, mask_cur)
+        return (f, m, i + 1), (f, m)
+
+    init = (jnp.zeros((H, W, C), feats.dtype),
+            jnp.zeros((H, W, 1), jnp.float32), jnp.int32(0))
+    _, (out_f, out_m) = jax.lax.scan(step, init, (feats, masks, fl_p, fl_c))
+    return out_f, out_m
+
+
+def image_propagation(frames, masks, flows_f, flows_b,
+                      interpolation: str = "nearest"):
+    """frames: (T, H, W, C) masked content; masks: (T, H, W, 1) holes
+    (1 = hole); flows_f: (T-1, H, W, 2) flow t -> t+1; flows_b:
+    (T-1, H, W, 2) flow t+1 -> t. Returns (propagated, updated_masks)."""
+    masks = masks.astype(jnp.float32)
+    # backward pass on the reversed sequence warps with FORWARD flows
+    b_f, b_m = _one_direction(frames[::-1], masks[::-1],
+                              flows_f[::-1], flows_b[::-1], interpolation)
+    b_f, b_m = b_f[::-1], b_m[::-1]
+    # forward pass consumes the backward pass's outputs
+    f_f, f_m = _one_direction(b_f, b_m, flows_b, flows_f, interpolation)
+    return f_f, f_m

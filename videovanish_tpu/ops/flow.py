@@ -112,3 +112,29 @@ def local_corr(f1: jnp.ndarray, f2w: jnp.ndarray, radius: int = 4,
             sh = _shift2d(f2w, dy * stride, dx * stride).astype(jnp.float32)
             outs.append(jnp.sum(f1f * sh, axis=-1))
     return (jnp.stack(outs, axis=-1) * scale).astype(f1.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def flow_warp_mode(img: jnp.ndarray, flow: jnp.ndarray,
+                   mode: str = "bilinear") -> jnp.ndarray:
+    """Backward-warp with selectable interpolation, matching torch
+    grid_sample(mode, padding_mode='zeros', align_corners=True) on a
+    pixel grid + flow (the ProPainter flow_warp semantics).
+
+    img: (B, H, W, C); flow: (B, H, W, 2) (dx, dy)."""
+    if mode == "bilinear":
+        return flow_warp(img, flow)
+    B, H, W, C = img.shape
+    gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    # grid_sample 'nearest' rounds half-to-even (std::nearbyint), which
+    # jnp.round also does
+    sx = jnp.round(gx + flow[..., 0].astype(jnp.float32))
+    sy = jnp.round(gy + flow[..., 1].astype(jnp.float32))
+    inb = (sy >= 0) & (sy < H) & (sx >= 0) & (sx < W)
+    yi = jnp.clip(sy, 0, H - 1).astype(jnp.int32)
+    xi = jnp.clip(sx, 0, W - 1).astype(jnp.int32)
+    flat = img.reshape(B, H * W, C)
+    vals = jnp.take_along_axis(flat, (yi * W + xi).reshape(B, -1, 1), axis=1)
+    vals = vals.reshape(B, H, W, C)
+    return jnp.where(inb[..., None], vals, 0).astype(img.dtype)

@@ -138,3 +138,61 @@ def host_resize_nearest_2d(masks, h: int, w: int):
     ys = np.minimum(np.floor(np.arange(h) * (H / h)).astype(np.int64), H - 1)
     xs = np.minimum(np.floor(np.arange(w) * (W / w)).astype(np.int64), W - 1)
     return masks[:, ys[:, None], xs[None, :]]
+
+
+def _align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix with torch
+    align_corners=True semantics: src = i * (n_in - 1) / (n_out - 1)."""
+    import numpy as np
+    if n_in == 1 or n_out == 1:
+        m = np.zeros((n_out, n_in), np.float32)
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (src - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1.0 - w
+    m[np.arange(n_out), hi] += w
+    return jnp.asarray(m)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int,
+                                  out_w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=True) /
+    nn.Upsample(align_corners=True) on (..., H, W, C). Separable: two
+    small dense matmuls (interior sizes are a few hundred), which is
+    both exact and MXU-friendly — no gathers."""
+    H, W = img.shape[-3], img.shape[-2]
+    my = _align_corners_matrix(H, out_h)
+    mx = _align_corners_matrix(W, out_w)
+    x = jnp.einsum("oh,...hwc->...owc", my, img.astype(jnp.float32))
+    x = jnp.einsum("ow,...hwc->...hoc", mx, x)
+    return x.astype(img.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear_torch_half_pixel(img: jnp.ndarray, out_h: int,
+                                     out_w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bilinear', align_corners=False):
+    half-pixel centers with edge clamping, matrix form like above."""
+    import numpy as np
+    H, W = img.shape[-3], img.shape[-2]
+
+    def mat(n_in, n_out):
+        src = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        src = np.clip(src, 0, n_in - 1)
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, n_in - 1)
+        w = (src - lo).astype(np.float32)
+        m = np.zeros((n_out, n_in), np.float32)
+        m[np.arange(n_out), lo] += 1.0 - w
+        m[np.arange(n_out), hi] += w
+        return jnp.asarray(m)
+
+    x = jnp.einsum("oh,...hwc->...owc", mat(H, out_h),
+                   img.astype(jnp.float32))
+    x = jnp.einsum("ow,...hwc->...hoc", mat(W, out_w), x)
+    return x.astype(img.dtype)
