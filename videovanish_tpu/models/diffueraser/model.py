@@ -323,7 +323,8 @@ class DiffuEraser:
     def forward(self, frames, masks, prior_frames=None, max_img_size: int = 960,
                 mask_dilation_iter: int = 0, guidance_scale=None,
                 progress=None, prompt_embeds=None, output_roi=None,
-                roi_margin: int = 16):
+                roi_margin: int = 16, frame_offset: int = 0,
+                latent_carry=None, return_latent_tail: int = 0):
         """Inpaint `frames` where `masks` is nonzero, seeded by `prior_frames`.
 
         frames: list/array of (H0,W0,3) RGB uint8
@@ -347,9 +348,20 @@ class DiffuEraser:
             0 beyond feather_px outside the dilated mask, so out-of-ROI
             model output is discarded anyway (the pipeline passes
             roi_margin = 16 + feather_px).
+        frame_offset / latent_carry / return_latent_tail implement
+        cross-chunk LATENT blending for the long-video driver (BASELINE
+        config 4): noise is a pure function of the GLOBAL frame index
+        (fold_in), so overlapped frames share noise across chunks;
+        `latent_carry=(z_acc, w_acc)` seeds the blend accumulators of
+        the first frames with the previous chunk's (still-ramped) tail;
+        `return_latent_tail=n` withholds the last n frames from decode
+        and returns their accumulators instead — the seam then blends in
+        latent space exactly like an in-chunk window seam.
+
         Returns list of (h,w,3) RGB uint8 at inference resolution (the
         pipeline layer composites/rescales back, as the reference does at
-        diffuerase.py:70-112).
+        diffuerase.py:70-112); with return_latent_tail > 0, returns
+        (frames_list_without_tail, (z_acc_tail, w_acc_tail)).
         """
         prog = progress or null_prog
         cfg = self.cfg
@@ -452,14 +464,28 @@ class DiffuEraser:
                     prior_c.append(encode(
                         self.params, pf01_p[i:i + chunk]))
 
-        # one noise tensor for the whole video: overlapping windows agree
-        noise = jax.random.normal(jax.random.PRNGKey(self.seed),
-                                  (T, h8, w8, cfg.sample_channels), jnp.float32)
+        # noise is a pure function of the GLOBAL frame index: overlapping
+        # windows agree within a video, and overlapping CHUNKS agree
+        # across a chunked long-video run (bitwise — fold_in is
+        # deterministic), per BASELINE config 4
+        base_key = jax.random.PRNGKey(self.seed)
+        noise = jax.vmap(lambda i: jax.random.normal(
+            jax.random.fold_in(base_key, i),
+            (h8, w8, cfg.sample_channels), jnp.float32))(
+            jnp.arange(frame_offset, frame_offset + T))
 
         plan = make_window_plan(T, clip_len, min(cfg.clip_overlap, clip_len - 1)
                                 if clip_len > 1 else 0)
         acc = jnp.zeros((T, h8, w8, cfg.sample_channels), jnp.float32)
         wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
+        carry_n = 0
+        if latent_carry is not None:
+            z_in, w_in = latent_carry
+            carry_n = int(z_in.shape[0])
+            acc = acc.at[:carry_n].set(jnp.asarray(z_in, jnp.float32))
+            wsum = wsum.at[:carry_n].set(jnp.asarray(w_in, jnp.float32))
+        T_out = T - int(return_latent_tail)
+        assert T_out > 0, "return_latent_tail must leave frames to emit"
         prompt_emb = jnp.asarray(prompt_embeds) if prompt_embeds is not None \
             else self.params["null_text_emb"]
         if self.mesh is not None:
@@ -488,16 +514,18 @@ class DiffuEraser:
 
         def decode_final(upto):
             """Decode finalized frames [decoded_upto, upto) in sub-batches
-            and kick off their async host fetch."""
+            and kick off their async host fetch. Frames past T_out (the
+            withheld latent tail) are never decoded."""
             nonlocal decoded_upto
+            upto = min(upto, T_out)
             while decoded_upto < upto:
                 i = decoded_upto
-                n = min(chunk, T - i)
-                if n < chunk and T >= chunk:
+                n = min(chunk, T_out - i)
+                if n < chunk and T_out >= chunk:
                     # keep one static decode shape: shift the window back
-                    if upto < T:
+                    if upto < T_out:
                         break  # wait for more finalized frames
-                    i = T - chunk
+                    i = T_out - chunk
                     n = chunk
                 z_c = jax.lax.dynamic_slice_in_dim(
                     acc, i, min(chunk, T)) / jax.lax.dynamic_slice_in_dim(
@@ -531,9 +559,13 @@ class DiffuEraser:
                 put(jax.lax.dynamic_slice_in_dim(noise, s, L)),
                 prompt_emb,
                 guidance=float(guidance_scale or 0.0))
-            bw = window_blend_weights(L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
-                                      is_first=(wi == 0),
-                                      is_last=(wi == len(plan) - 1))
+            bw = window_blend_weights(
+                L, min(cfg.clip_overlap, L - 1) if L > 1 else 0,
+                # with a latent carry the chunk's first edge must RAMP
+                # (the previous chunk's tail ramps down into it); with a
+                # withheld tail the last edge ramps for the next chunk
+                is_first=(wi == 0 and carry_n == 0),
+                is_last=(wi == len(plan) - 1 and return_latent_tail == 0))
             bwj = jnp.asarray(bw)[:, None, None, None]
             acc = jax.lax.dynamic_update_slice_in_dim(
                 acc, jax.lax.dynamic_slice_in_dim(acc, s, L) + bwj * z, s, axis=0)
@@ -544,20 +576,23 @@ class DiffuEraser:
             decode_final(final_upto)
 
         prog(85, "VAE-decoding frames")
-        out = np.empty((T, h, w, 3), np.uint8)
+        out = np.empty((T_out, h, w, 3), np.uint8)
         if roi is not None:
-            out[:] = frames  # out-of-ROI pixels = resized input
+            out[:] = frames[:T_out]  # out-of-ROI pixels = resized input
         for start, i, u8 in chunks:
             arr = np.asarray(u8)
             # the decode batch covers [i, i+chunk); frames before `start`
             # in it were already written by an earlier chunk
-            end = min(i + chunk, T)
+            end = min(i + chunk, T_out)
             if roi is None:
                 out[start:end] = arr[start - i:end - i]
             else:
                 out[start:end, roi[0]:roi[1], roi[2]:roi[3]] = \
                     arr[start - i:end - i]
         prog(100, "diffusion inpainting done")
+        if return_latent_tail:
+            return ([out[i] for i in range(T_out)],
+                    (acc[T_out:], wsum[T_out:]))
         return [out[i] for i in range(T)]
 
     __call__ = forward

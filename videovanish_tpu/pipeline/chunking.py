@@ -7,9 +7,13 @@ SURVEY.md §5 long-context row). Design:
   - frames stream from disk chunk-at-a-time (VideoFrameReader) — a
     1000+-frame 720p video never fully materializes on host;
   - each chunk runs the full prior+diffusion+composite pipeline; chunks
-    share `overlap` frames and are cross-faded with linear ramps in
-    f32 with a fixed reduction order (chunk i then i+1), so re-running
-    a video is bitwise identical (north-star requirement);
+    share `overlap` frames and blend IN LATENT SPACE (BASELINE config
+    4): denoise noise is a pure function of the global frame index, a
+    chunk withholds its overlap tail from VAE decode and hands the
+    blend accumulators to the next chunk, which ramps its own windows
+    into them — a chunk seam is then the same latent cross-fade as an
+    in-chunk window seam, and re-running a video is bitwise identical
+    (north-star requirement);
   - a JSON resume manifest + per-chunk .npz outputs make long jobs
     resumable after failure (SURVEY.md §5 failure-detection row: the
     reference has nothing — job death loses all work);
@@ -97,7 +101,6 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
 
     plan = _chunk_plan(n_total, chunk, overlap)
     pair_ov = _pair_overlaps(plan)
-    finalize = _blend_ranges(plan)
 
     job_id = hashlib.sha1(
         f"{os.path.abspath(color_video)}|{os.path.abspath(mask_video)}|"
@@ -126,10 +129,12 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
     carry_c: list = []
     carry_m: list = []
 
+    latent_carry = None  # (z_acc, w_acc) handed chunk -> chunk
     try:
         for ci, (s, e) in enumerate(plan):
             check_cancel(is_canceled)
             chunk_npz = os.path.join(wd, f"chunk_{ci:05d}.npz")
+            ov_next = pair_ov[ci + 1] if ci < len(plan) - 1 else 0
             need = e - pos
             if need > 0:
                 new_c = color_rd.read_chunk(need)
@@ -142,13 +147,17 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
             # keep the tail overlap for the next chunk (the last pair's
             # overlap can exceed `overlap` when the tail window snaps)
             if ci < len(plan) - 1:
-                ov_next = pair_ov[ci + 1]
                 carry_c = frames[-ov_next:] if ov_next else []
                 carry_m = masks[-ov_next:] if ov_next else []
 
             if ci in manifest["completed"] and os.path.exists(chunk_npz):
                 prog(5 + 85 * (ci + 1) / len(plan),
                      f"chunk {ci + 1}/{len(plan)} (resumed)")
+                if ov_next:  # reload the latent carry for the next chunk
+                    with np.load(chunk_npz) as z:
+                        latent_carry = (z["carry_z"], z["carry_w"])
+                else:
+                    latent_carry = None
                 continue
 
             sub_prog = scale_prog(prog, 5 + 85 * ci / len(plan),
@@ -158,8 +167,18 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
                 frames, masks, mask_dilation_iter=mask_dilation_iter,
                 max_img_size=max_img_size,
                 keep_unmasked_original=keep_unmasked_original,
-                feather_px=feather_px, prog=sub_prog)
-            np.savez_compressed(chunk_npz, frames=np.stack(out))
+                feather_px=feather_px, prog=sub_prog,
+                frame_offset=s, latent_carry=latent_carry,
+                return_latent_tail=ov_next)
+            if ov_next:
+                out, latent_carry = out
+                np.savez_compressed(
+                    chunk_npz, frames=np.stack(out),
+                    carry_z=np.asarray(latent_carry[0]),
+                    carry_w=np.asarray(latent_carry[1]))
+            else:
+                latent_carry = None
+                np.savez_compressed(chunk_npz, frames=np.stack(out))
             manifest["completed"] = sorted(set(manifest["completed"]) | {ci})
             with open(manifest_path, "w") as f:
                 json.dump(manifest, f)
@@ -167,31 +186,21 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
         color_rd.close()
         mask_rd.close()
 
-    # ---- assemble: cross-fade overlaps in f32, fixed order, stream-write
+    # ---- assemble: every chunk's frames are already final (seams were
+    # blended in latent space via the carry), stream-write in order
     prog(92, "assembling output")
     import cv2
     writer = cv2.VideoWriter(str(out_video), cv2.VideoWriter_fourcc(*"FFV1"),
                              fps, (W0, H0))
     assert writer.isOpened(), "Failed to open VideoWriter (FFV1/MKV)."
-    prev_tail = None  # (frames f32) overlap tail of previous chunk
     n_written = 0
-    for ci, (s, e) in enumerate(plan):
+    for ci in range(len(plan)):
         with np.load(os.path.join(wd, f"chunk_{ci:05d}.npz")) as z:
-            cur = z["frames"].astype(np.float32)
-        ov = pair_ov[ci]
-        if prev_tail is not None and ov:
-            w = ((np.arange(ov) + 1.0) / (ov + 1.0))
-            w = w[:, None, None, None].astype(np.float32)
-            cur[:ov] = prev_tail * (1.0 - w) + cur[:ov] * w
-        lo, hi = finalize[ci]
-        emit = cur[lo - s: hi - s]
-        for f in emit:
-            writer.write(cv2.cvtColor(
-                np.clip(np.rint(f), 0, 255).astype(np.uint8),
-                cv2.COLOR_RGB2BGR))
+            cur = z["frames"]
+        for f in cur:
+            writer.write(cv2.cvtColor(np.ascontiguousarray(f),
+                                      cv2.COLOR_RGB2BGR))
             n_written += 1
-        ov_next = pair_ov[ci + 1] if ci < len(plan) - 1 else 0
-        prev_tail = cur[-ov_next:] if ov_next else None
     writer.release()
     print(f"[ok] wrote {n_written} frames to {out_video}")
 

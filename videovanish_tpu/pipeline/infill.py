@@ -83,12 +83,18 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                          ckpt: str = "2-Step", propainer_frames=None,
                          max_img_size: int = 960,
                          keep_unmasked_original: bool = True,
-                         feather_px: int = 3, prog=None):
+                         feather_px: int = 3, prog=None,
+                         frame_offset: int = 0, latent_carry=None,
+                         return_latent_tail: int = 0):
     """Remove the masked objects from frames_rgb.
 
     frames_rgb:  list of (H,W,3) RGB uint8
     mask_frames: list of (H,W,3) or (H,W) uint8; any nonzero channel = hole
     propainer_frames: optional precomputed prior frames (same size as input)
+    frame_offset/latent_carry/return_latent_tail: cross-chunk latent
+    blending hooks for the long-video driver (pipeline/chunking.py) —
+    see DiffuEraser.forward. With return_latent_tail > 0 the last n
+    frames are withheld and (frames, carry) is returned.
     Returns list of (H,W,3) RGB uint8 (original resolution).
     """
     prog = prog or null_prog
@@ -154,7 +160,16 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                 # needs to cross the host link
                 output_roi="auto" if keep_unmasked_original else None,
                 roi_margin=16 + int(np.ceil(feather_px)),
+                frame_offset=frame_offset, latent_carry=latent_carry,
+                return_latent_tail=return_latent_tail,
             )
+        carry = None
+        if return_latent_tail:
+            inpainted, carry = inpainted
+            frames = frames[: len(inpainted)]
+            dilated_np = dilated_np[: len(inpainted)]
+            if dilated is not None:
+                dilated = dilated[: len(inpainted)]
 
         prog(90, "resizing and merging finished frames")
         with stage_timer("rescale_composite", frames=T):
@@ -173,7 +188,10 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                 )
                 out_np = np.asarray(out)
     prog(100, "done")
-    return [out_np[i] for i in range(T)]
+    result = [out_np[i] for i in range(len(out_np))]
+    if return_latent_tail:
+        return result, carry
+    return result
 
 
 def _native():
