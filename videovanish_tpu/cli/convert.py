@@ -109,12 +109,17 @@ def main(argv=None) -> None:
     else:
         if not args.input or not args.model:
             ap.error("--input and --model are required unless --assemble")
-        from videovanish_tpu.core.convert import convert_torch_file
+        from videovanish_tpu.core.convert import (
+            convert_torch_file, sam2_fb_preprocess,
+        )
         rules, specials = rules_by_model[args.model]
         tree = convert_torch_file(
             args.input, rules,
             out_path=None if args.dry_run else args.output,
-            special=specials)
+            special=specials,
+            # fb-format SAM2 stores 4 separate point embeddings that
+            # merge into one table (regexes can't express the stack)
+            preprocess=sam2_fb_preprocess if args.model == "sam2" else None)
     import jax
     leaves = jax.tree.leaves(tree)
     n_params = sum(int(x.size) for x in leaves)

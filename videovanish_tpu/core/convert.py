@@ -171,17 +171,71 @@ UNET_SPECIALS: list = [
 ]
 
 # SAM2 torch checkpoint (facebookresearch format, the reference's
-# sam2.1_hiera_large.pt) -> models/sam2 naming
+# sam2.1_hiera_large.pt, sam2_masker.py:19-20) -> models/sam2 naming.
+# Validated structurally by tests/test_sam2_fb_convert.py: a synthetic
+# fb-layout state dict (derived from the HF oracle) converts to the
+# SAME tree as the end-to-end-validated HF route.
+def sam2_fb_preprocess(state: dict) -> dict:
+    """Multi-key merges regex rules can't express: the fb prompt encoder
+    stores 4 separate (1, C) point embeddings; our tree (and HF) use one
+    stacked (4, C) table."""
+    out = {}
+    points = {}
+    for k, v in state.items():
+        m = re.match(r"^sam_prompt_encoder\.point_embeddings\.(\d)\.weight$",
+                     k)
+        if m:
+            points[int(m.group(1))] = np.asarray(v)
+        else:
+            out[k] = v
+    if points:
+        out["sam_prompt_encoder.point_embeddings"] = np.concatenate(
+            [points[i] for i in sorted(points)], axis=0)
+    return out
+
+
 SAM2_RULES: list[tuple[str, str]] = [
+    # mask-prompt path: unused by the reference surface (clicks/boxes
+    # only, sam2_masker.py:121-138); pos-enc buffer unused by sam2.1
+    (r"\.mask_downscaling\.", None),
+    (r"^mask_downsample\.", None),
+    (r"^no_mem_pos_enc$", None),
+    # top-level video params (fb names -> ours)
+    (r"^no_mem_embed$", "no_memory_embedding"),
+    (r"^no_obj_ptr$", "no_object_pointer"),
+    (r"^no_obj_embed_spatial$", "occlusion_spatial_embedding"),
+    (r"^obj_ptr_proj\.", "decoder.obj_ptr_proj."),
+    (r"^obj_ptr_tpos_proj\.", "obj_ptr_tpos_proj."),
+    # component prefixes
     (r"^image_encoder\.trunk\.", "hiera."),
     (r"^image_encoder\.neck\.", "neck."),
     (r"^sam_prompt_encoder\.", "prompt_encoder."),
     (r"^sam_mask_decoder\.", "decoder."),
-    (r"^memory_attention\.", "memory_attention."),
-    (r"^memory_encoder\.", "memory_encoder."),
-    (r"\.attn\.qkv\.", ".attn.qkv."),
+    # hiera / generic MLPs
     (r"\.mlp\.layers\.0\.", ".mlp_fc1."),
     (r"\.mlp\.layers\.1\.", ".mlp_fc2."),
+    # mask decoder
+    (r"\.mlp\.lin([12])\.", r".mlp_lin\1."),
+    (r"\.output_upscaling\.0\.", ".output_upscaling_0."),
+    (r"\.output_upscaling\.1\.", ".output_upscaling_ln."),
+    (r"\.output_upscaling\.3\.", ".output_upscaling_1."),
+    (r"\.conv_s0\.", ".conv_s4."),
+    (r"\.conv_s1\.", ".conv_s8."),
+    (r"\.(iou_token|mask_tokens|obj_score_token)\.weight$", r".\1"),
+    (r"\.(not_a_point_embed|no_mask_embed)\.weight$", r".\1"),
+    # memory encoder (fb Sequential/DownSampler/CXBlock names -> ours)
+    (r"mask_downsampler\.encoder\.(\d+)\.",
+     lambda m: (f"mask_downsampler_final_conv."
+                if int(m.group(1)) % 3 == 0 and int(m.group(1)) >= 12 else
+                f"mask_downsampler_layers_{int(m.group(1)) // 3}."
+                + ("conv." if int(m.group(1)) % 3 == 0 else "layer_norm."))),
+    (r"memory_encoder\.pix_feat_proj\.", "memory_encoder.feature_projection."),
+    (r"memory_encoder\.out_proj\.", "memory_encoder.projection."),
+    (r"memory_encoder\.fuser\.layers\.(\d+)\.",
+     r"memory_encoder.memory_fuser_layers_\1."),
+    (r"\.dwconv\.", ".depthwise_conv."),
+    (r"\.pwconv([12])\.", r".pointwise_conv\1."),
+    (r"memory_fuser_layers_(\d+)\.norm\.", r"memory_fuser_layers_\1.layer_norm."),
 ]
 
 # Hiera absolute position embeddings are stored NCHW in both the fb and
@@ -328,7 +382,7 @@ PROPAINTER_RULES: list[tuple[str, str]] = [
 
 
 def convert_torch_file(path: str, rules, out_path: str = None,
-                       special=()):
+                       special=(), preprocess=None):
     """Load a .pt/.pth/.safetensors file and convert. Torch stays a
     host-side conversion dependency only."""
     if str(path).endswith(".safetensors"):
@@ -340,6 +394,8 @@ def convert_torch_file(path: str, rules, out_path: str = None,
         state = obj.get("model", obj.get("state_dict", obj)) \
             if isinstance(obj, dict) else obj
         state = {k: v.numpy() for k, v in state.items()}
+    if preprocess is not None:
+        state = preprocess(state)
     tree = convert_state_dict(state, rules, special)
     if out_path:
         from videovanish_tpu.core.checkpoint import save_pytree
