@@ -128,3 +128,49 @@ class TestMeshInference:
         # f32 reduction order may differ across shards -> off-by-one of
         # uint8 rounding at most
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+
+class TestMultiHostScaffolding:
+    """SURVEY.md §5 distributed-backend row (VERDICT r1 item 9):
+    jax.distributed entry point + DCN-aware mesh planning. True
+    multi-process can't run on one host; these gate the shape logic and
+    the single-process no-op path."""
+
+    def test_initialize_noop_single_process(self, monkeypatch):
+        from videovanish_tpu.core.mesh import initialize_distributed
+        monkeypatch.delenv("VV_COORDINATOR", raising=False)
+        assert initialize_distributed() is False
+        assert initialize_distributed(num_processes=1) is False
+
+    def test_plan_hybrid_mesh_shapes(self):
+        from videovanish_tpu.core.mesh import plan_hybrid_mesh
+        # v5p-8 x 4 slices, tp=2: model stays intra-slice
+        dcn, ici = plan_hybrid_mesh(4, 8, model_parallel=2)
+        assert dcn == (4, 1) and ici == (4, 2)
+        dcn, ici = plan_hybrid_mesh(2, 4, model_parallel=1)
+        assert dcn == (2, 1) and ici == (4, 1)
+
+    def test_plan_rejects_tp_across_slices(self):
+        import pytest
+        from videovanish_tpu.core.mesh import plan_hybrid_mesh
+        with pytest.raises(ValueError, match="span slices"):
+            plan_hybrid_mesh(2, 4, model_parallel=8)
+        with pytest.raises(ValueError, match="does not divide"):
+            plan_hybrid_mesh(2, 6, model_parallel=4)
+
+    def test_hybrid_mesh_single_slice_fallback(self):
+        from videovanish_tpu.core.mesh import make_hybrid_mesh
+        mesh = make_hybrid_mesh(n_slices=1, model_parallel=2)
+        assert mesh.axis_names == ("data", "model")
+        assert mesh.shape["model"] == 2
+
+    def test_hybrid_mesh_two_virtual_slices(self):
+        """8 virtual CPU devices as 2 'slices' of 4: the hybrid path
+        builds a (data=8, model=1) mesh with slice-contiguous order."""
+        from videovanish_tpu.core.mesh import make_hybrid_mesh
+        try:
+            mesh = make_hybrid_mesh(n_slices=2, model_parallel=1)
+        except Exception as e:  # mesh_utils needs real slice metadata
+            import pytest
+            pytest.skip(f"hybrid mesh unavailable on virtual devices: {e}")
+        assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1

@@ -31,8 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    from videovanish_tpu.core.runtime import apply_env_platform
+    from videovanish_tpu.core.runtime import (
+    apply_env_distributed, apply_env_platform,
+)
     apply_env_platform()
+    apply_env_distributed()
     args = build_parser().parse_args(argv)
     assert os.path.isfile(args.color_video), "input video missing"
     out_video = args.out or (args.color_video + "_sam2_mask.mkv")

@@ -26,3 +26,11 @@ def apply_env_platform() -> None:
         # produced them, at a large slowdown)
         import jax
         jax.config.update("jax_debug_nans", True)
+
+
+def apply_env_distributed() -> None:
+    """Multi-host bring-up from env (VV_COORDINATOR / VV_NUM_PROCESSES /
+    VV_PROCESS_ID): call after apply_env_platform in entry points; a
+    no-op on single-process runs. See core/mesh.initialize_distributed."""
+    from videovanish_tpu.core.mesh import initialize_distributed
+    initialize_distributed()
