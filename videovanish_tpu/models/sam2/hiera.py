@@ -171,7 +171,19 @@ class Hiera(nn.Module):
         def to_windowed(ws):
             if state["ws"] != ws:
                 to_spatial()
-                state["hw"] = (state["x"].shape[1], state["x"].shape[2])
+                h_, w_ = state["x"].shape[1], state["x"].shape[2]
+                # The fused partitioned-layout flow is exact only when
+                # the grid tiles evenly: window_partition zero-pads, and
+                # keeping pad tokens alive across consecutive blocks
+                # would accumulate attention/MLP state in them (the
+                # reference re-pads fresh zeros per block). All shipped
+                # configs divide evenly; guard the latent case.
+                if h_ % ws or w_ % ws:
+                    raise ValueError(
+                        f"Hiera fused windowed layout needs the token "
+                        f"grid ({h_}x{w_}) divisible by window {ws}; "
+                        f"use an image_size/window_spec that tiles.")
+                state["hw"] = (h_, w_)
                 state["x"], state["pad"] = window_partition(state["x"], ws)
                 state["ws"] = ws
 

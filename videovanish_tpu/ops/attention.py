@@ -276,9 +276,14 @@ def _packed_small_attention_tpu(q, k, v, scale, block_g=16,
     J = max(1, 128 // max(S, Sk))
     BH = B * H
     G0 = -(-BH // J)              # packed groups before grid padding
-    # VMEM cap: 3 in + 1 out (J*S x 128-lane bf16 tiles, double-buffered)
-    # + f32 scores/p; keep the per-program footprint under ~10MB
-    row_bytes = _round_up(J * max(S, Sk), 8) * 128 * (4 * 2 + 2 * 4 * 2)
+    # VMEM cap: 3 in + 1 out (J*S x ceil(D/128)*128-lane bf16 tiles,
+    # double-buffered) + f32 scores/p (J*max(S,Sk) wide, 128-rounded);
+    # keep the per-program footprint under ~10MB. D can exceed 128
+    # (SD1.5 temporal heads are 160-wide), so budget the real lane count.
+    d_lanes = _round_up(D, 128)
+    s_lanes = _round_up(J * max(S, Sk), 128)
+    row_bytes = _round_up(J * max(S, Sk), 8) * (
+        d_lanes * 4 * 2 * 2 + s_lanes * 2 * 4 * 2)
     bg = max(1, min(block_g, G0, (10 << 20) // row_bytes))
     G = -(-G0 // bg) * bg
     pad = G * J - BH
