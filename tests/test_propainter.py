@@ -144,3 +144,18 @@ class TestPropainterTiny:
         assert len(out) == 1 and out[0].shape == (H, W, 3)
         np.testing.assert_array_equal(out[0][:50, :50], f[:50, :50])
         assert (out[0][100:150, 100:150] != f[100:150, 100:150]).any()
+
+
+class TestFullSizeInit:
+    def test_shape_only_init_constructs(self):
+        """Full-size configs take the eval_shape (shape-only) init path,
+        which must not abstract the generator's static l_t frame count
+        into a tracer (regression: bench.py's default-config Propainter
+        crashed with 'Slice entries must be static integers')."""
+        from videovanish_tpu.config import default_config
+        from videovanish_tpu.models.propainter import Propainter
+        pp = Propainter(config=default_config().propainter)
+        assert set(pp.params) == {"raft", "flow_comp", "generator"}
+        import jax
+        n = sum(x.size for x in jax.tree.leaves(pp.params))
+        assert n > 10_000_000  # full-size nets, not tiny

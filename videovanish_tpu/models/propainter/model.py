@@ -71,13 +71,16 @@ class Propainter:
         ks = jax.random.split(key, 3)
         big = self.cfg.channels > 64
 
-        def init(fn, *a, **kw):
+        def init(fn, *a, static=(), **kw):
+            # `static`: trailing non-array args (e.g. the generator's
+            # l_t frame count) — eval_shape would abstract them into
+            # tracers, and the module slices by them
             if big:  # full-size nets: shape-only init (weights come from
                 # the converted checkpoints; random init would be slow)
                 from videovanish_tpu.core.precision import zeros_like_shapes
-                return zeros_like_shapes(
-                    jax.eval_shape(fn, *a, **kw)["params"])
-            return fn(*a, **kw)["params"]
+                return zeros_like_shapes(jax.eval_shape(
+                    lambda *arr: fn(*arr, *static, **kw), *a)["params"])
+            return fn(*a, *static, **kw)["params"]
 
         h, w = 64, 64
         img = jnp.zeros((2, h, w, 3), self.dtype)
@@ -92,7 +95,8 @@ class Propainter:
                 jnp.zeros((T, h, w, 3), self.dtype),
                 (jnp.zeros((l_t - 1, h, w, 2)),
                  jnp.zeros((l_t - 1, h, w, 2))),
-                jnp.zeros((T, h, w, 1)), jnp.zeros((T, h, w, 1)), l_t),
+                jnp.zeros((T, h, w, 1)), jnp.zeros((T, h, w, 1)),
+                static=(l_t,)),
         }
         # three checkpoints, mirroring the reference's weight set
         for name, path in (("raft", self.cfg.raft_checkpoint),
