@@ -63,27 +63,31 @@ void vv_chamfer_distance(float* dist, const uint8_t* mask, int h, int w) {
 }
 
 // ---------------------------------------------------------------------------
-// cross-shaped binary dilation, `iters` iterations (scipy default struct)
+// cross-shaped binary dilation, `iters` iterations (scipy default struct).
+// Computed as an exact two-pass L1 distance transform + threshold:
+// r iterations of the 4-neighbour dilation mark exactly the pixels at
+// 4-connected grid distance <= r from a seed, and in a rectangle that
+// distance IS the L1 metric (a monotone staircase path never needs to
+// leave the image). Two O(hw) passes replace the O(hw*iters) loop.
 // ---------------------------------------------------------------------------
 void vv_binary_dilate(uint8_t* out, const uint8_t* in, int h, int w,
                       int iters) {
-  std::vector<uint8_t> a(in, in + h * w), b(h * w);
-  for (int i = 0; i < h * w; ++i) a[i] = a[i] ? 1 : 0;
-  for (int it = 0; it < iters; ++it) {
-    for (int y = 0; y < h; ++y)
-      for (int x = 0; x < w; ++x) {
-        uint8_t v = a[y * w + x];
-        if (!v) {
-          if (y > 0) v |= a[(y - 1) * w + x];
-          if (!v && y < h - 1) v |= a[(y + 1) * w + x];
-          if (!v && x > 0) v |= a[y * w + x - 1];
-          if (!v && x < w - 1) v |= a[y * w + x + 1];
-        }
-        b[y * w + x] = v;
-      }
-    std::swap(a, b);
-  }
-  std::memcpy(out, a.data(), h * w);
+  const int INF = 1 << 29;
+  std::vector<int> d(h * w);
+  for (int i = 0; i < h * w; ++i) d[i] = in[i] ? 0 : INF;
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      int& v = d[y * w + x];
+      if (y > 0) v = std::min(v, d[(y - 1) * w + x] + 1);
+      if (x > 0) v = std::min(v, d[y * w + x - 1] + 1);
+    }
+  for (int y = h - 1; y >= 0; --y)
+    for (int x = w - 1; x >= 0; --x) {
+      int& v = d[y * w + x];
+      if (y < h - 1) v = std::min(v, d[(y + 1) * w + x] + 1);
+      if (x < w - 1) v = std::min(v, d[y * w + x + 1] + 1);
+    }
+  for (int i = 0; i < h * w; ++i) out[i] = d[i] <= iters ? 1 : 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -95,28 +99,63 @@ void vv_binary_dilate(uint8_t* out, const uint8_t* in, int h, int w,
 void vv_feather_composite(uint8_t* out, const uint8_t* inpainted,
                           const uint8_t* original, const uint8_t* mask,
                           int h, int w, float feather_px) {
-  std::vector<float> d_in(h * w), d_out(h * w);
-  std::vector<uint8_t> inv(h * w);
-  for (int i = 0; i < h * w; ++i) inv[i] = mask[i] ? 0 : 1;
+  // alpha is exactly 0 outside the mask bbox grown by the feather
+  // width (chamfer distance >= Chebyshev distance, so d_out >= feather
+  // there), so the chamfers + blend only need to run on that window;
+  // everything else is the original. Window chamfers equal the global
+  // ones inside it: both endpoints of a minimizing chamfer path are in
+  // the (convex) window, so the path is too.
+  int y0 = h, y1 = -1, x0 = w, x1 = -1;
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = mask + y * w;
+    for (int x = 0; x < w; ++x)
+      if (row[x]) {
+        if (y < y0) y0 = y;
+        y1 = y;
+        if (x < x0) x0 = x;
+        if (x > x1) x1 = x;
+      }
+  }
+  if (y1 < 0) {  // empty mask: alpha = 0 everywhere
+    std::memcpy(out, original, (size_t)3 * h * w);
+    return;
+  }
+  const int m = (int)std::ceil(feather_px) + 3;
+  y0 = std::max(0, y0 - m); y1 = std::min(h - 1, y1 + m);
+  x0 = std::max(0, x0 - m); x1 = std::min(w - 1, x1 + m);
+  const int wh = y1 - y0 + 1, ww = x1 - x0 + 1;
+
+  std::vector<float> d_in(wh * ww), d_out(wh * ww);
+  std::vector<uint8_t> sub(wh * ww), inv(wh * ww);
+  for (int y = 0; y < wh; ++y)
+    for (int x = 0; x < ww; ++x) {
+      uint8_t v = mask[(y0 + y) * w + (x0 + x)];
+      sub[y * ww + x] = v;
+      inv[y * ww + x] = v ? 0 : 1;
+    }
   if (feather_px > 0) {
-    vv_chamfer_distance(d_in.data(), mask, h, w);
-    vv_chamfer_distance(d_out.data(), inv.data(), h, w);
+    vv_chamfer_distance(d_in.data(), sub.data(), wh, ww);
+    vv_chamfer_distance(d_out.data(), inv.data(), wh, ww);
   }
-  for (int i = 0; i < h * w; ++i) {
-    float alpha;
-    if (feather_px > 0) {
-      alpha = 0.5f + (d_in[i] - d_out[i]) / (2.0f * feather_px);
-      alpha = std::min(1.0f, std::max(0.0f, alpha));
-    } else {
-      alpha = mask[i] ? 1.0f : 0.0f;
+  std::memcpy(out, original, (size_t)3 * h * w);
+  for (int y = 0; y < wh; ++y)
+    for (int x = 0; x < ww; ++x) {
+      float alpha;
+      const int i = y * ww + x;
+      if (feather_px > 0) {
+        alpha = 0.5f + (d_in[i] - d_out[i]) / (2.0f * feather_px);
+        alpha = std::min(1.0f, std::max(0.0f, alpha));
+      } else {
+        alpha = sub[i] ? 1.0f : 0.0f;
+      }
+      const size_t g = (size_t)3 * ((y0 + y) * w + (x0 + x));
+      for (int c = 0; c < 3; ++c) {
+        float v = alpha * inpainted[g + c] +
+                  (1.0f - alpha) * original[g + c];
+        v = std::nearbyintf(v);
+        out[g + c] = (uint8_t)std::min(255.0f, std::max(0.0f, v));
+      }
     }
-    for (int c = 0; c < 3; ++c) {
-      float v = alpha * inpainted[3 * i + c] +
-                (1.0f - alpha) * original[3 * i + c];
-      v = std::nearbyintf(v);
-      out[3 * i + c] = (uint8_t)std::min(255.0f, std::max(0.0f, v));
-    }
-  }
 }
 
 // ---------------------------------------------------------------------------
