@@ -36,11 +36,13 @@ def probe_link(mb: int = 8):
     import jax.numpy as jnp
 
     buf = np.zeros((mb << 20,), np.uint8)
-    dev = jax.device_put(jnp.zeros((1,), jnp.uint8))  # warm connection
-    float(jnp.sum(dev))
+    sync = jax.jit(lambda a: jnp.sum(a[:: 1 << 20].astype(jnp.int32)))
+    # warm the connection AND compile the sync program outside the timed
+    # region (a remote compile takes seconds and would understate "up")
+    float(sync(jax.device_put(buf)))
     t0 = time.perf_counter()
     d = jax.device_put(buf)
-    float(jnp.sum(d[:: 1 << 20].astype(jnp.int32)))  # force completion
+    float(sync(d))  # force completion
     up = mb / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     _ = np.asarray(d)

@@ -18,6 +18,8 @@ TPU-native design (vs the reference's per-clip torch loop):
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Optional
 
 import jax
@@ -38,6 +40,16 @@ from videovanish_tpu.ops.resize import (
     host_resize_bilinear_u8, host_resize_nearest_2d, plan_long_side,
     resize_bilinear, resize_nearest_2d,
 )
+from videovanish_tpu.utils.observability import stage_timer
+
+
+def _emit_stage(name: str, seconds: float, **fields):
+    """Record an already-measured duration as a stage (used for phases
+    whose end is only known after an explicit device sync)."""
+    from videovanish_tpu.utils import observability as _obs
+    for sink in _obs._STAGE_COLLECTORS:
+        sink.append((name, seconds, fields))
+    _obs._emit("stage", name=name, seconds=round(seconds, 4), **fields)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -540,14 +552,27 @@ class DiffuEraser:
                 chunks.append((decoded_upto, i, u8))
                 decoded_upto = min(i + n, upto)
 
+        # sub-stage breakdown (VV_SYNC_STAGES=1 adds a device sync after
+        # each phase so the wall-clock split is honest; off by default —
+        # syncing serializes the async dispatch stream)
+        do_sync = os.environ.get("VV_SYNC_STAGES") == "1"
+
+        def sync(x):
+            if do_sync:
+                float(jnp.sum(x[..., :1].astype(jnp.float32)))
+
         # encode everything upfront: through this host link, transfers do
         # not overlap device compute (measured), so lazy per-window
         # encoding buys nothing and adds per-window concat work
-        ensure_encoded(T)
-        masked_lat = jnp.concatenate(lat_c, 0)
-        m_lat = jnp.concatenate(mlat_c, 0)
-        prior_lat = jnp.concatenate(prior_c, 0) if prior_c else masked_lat
+        with stage_timer("dn.upload_encode", frames=T):
+            ensure_encoded(T)
+            masked_lat = jnp.concatenate(lat_c, 0)
+            m_lat = jnp.concatenate(mlat_c, 0)
+            prior_lat = jnp.concatenate(prior_c, 0) if prior_c else masked_lat
+            sync(prior_lat)
+            sync(masked_lat)
 
+        t_windows = time.perf_counter()
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
                  f"denoising window {wi + 1}/{len(plan)}")
@@ -574,8 +599,13 @@ class DiffuEraser:
             # frames before the next window's start are final now
             final_upto = plan[wi + 1][0] if wi + 1 < len(plan) else T
             decode_final(final_upto)
+        if do_sync:
+            sync(acc)
+            _emit_stage("dn.windows", time.perf_counter() - t_windows,
+                        windows=len(plan))
 
         prog(85, "VAE-decoding frames")
+        t_fetch = time.perf_counter()
         out = np.empty((T_out, h, w, 3), np.uint8)
         if roi is not None:
             out[:] = frames[:T_out]  # out-of-ROI pixels = resized input
@@ -589,6 +619,9 @@ class DiffuEraser:
             else:
                 out[start:end, roi[0]:roi[1], roi[2]:roi[3]] = \
                     arr[start - i:end - i]
+        if do_sync:
+            _emit_stage("dn.decode_fetch", time.perf_counter() - t_fetch,
+                        frames=T_out)
         prog(100, "diffusion inpainting done")
         if return_latent_tail:
             return ([out[i] for i in range(T_out)],
