@@ -118,33 +118,65 @@ def emit(metric, value, vs=None, **extra):
     }), flush=True)
 
 
+def _tpu_recovered(err, waits=(120, 300, 600)) -> bool:
+    """The axon TPU worker occasionally crashes/restarts mid-run
+    (jax surfaces UNAVAILABLE). It usually comes back within minutes;
+    wait for a trivial program to answer before retrying the leg."""
+    if "UNAVAILABLE" not in f"{type(err).__name__}: {err}":
+        return False
+    import jax
+    import jax.numpy as jnp
+    for wait in waits:
+        time.sleep(wait)
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            float(jnp.sum(jnp.dot(x, x)))
+            print("[bench] TPU worker recovered; retrying", file=sys.stderr)
+            return True
+        except Exception:
+            continue
+    return False
+
+
 def main():
     configs = [
         (720, 1280, 38, 960),   # 720p, reference-default inference res
         (480, 854, 38, 960),    # 480p fallback
         (256, 256, 16, 256),    # smoke fallback
     ]
-    last_err = None
+    last_err, done = None, False
     for h, w, t, mis in configs:
-        try:
-            e2e_fps, model_fps = bench_pipeline(h, w, t, mis)
-            emit(f"vanish_frames_per_sec_{h}p_1chip", e2e_fps)
-            emit(f"model_frames_per_sec_{h}p_1chip", model_fps)
+        for attempt in range(2):  # 2nd attempt only after worker recovery
+            try:
+                e2e_fps, model_fps = bench_pipeline(h, w, t, mis)
+                emit(f"vanish_frames_per_sec_{h}p_1chip", e2e_fps)
+                emit(f"model_frames_per_sec_{h}p_1chip", model_fps)
+                done = True
+                break
+            except Exception as e:  # worker crash / OOM: retry or shrink
+                last_err = e
+                print(f"[bench] {h}p config failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                if attempt == 0 and _tpu_recovered(e):
+                    continue
+                break
+        if done:
             break
-        except Exception as e:  # OOM / compile failure: try smaller
-            last_err = e
-            print(f"[bench] {h}p config failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-    else:
+    if not done:
         emit("vanish_frames_per_sec", 0.0, vs=0.0,
              error=f"{type(last_err).__name__}: {last_err}")
         return 1
 
-    try:
-        emit("sam2_mask_frames_per_sec_480p_1chip", bench_sam2())
-    except Exception as e:
-        print(f"[bench] sam2 leg failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    for attempt in range(2):
+        try:
+            emit("sam2_mask_frames_per_sec_480p_1chip", bench_sam2())
+            break
+        except Exception as e:
+            print(f"[bench] sam2 leg failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            if attempt == 0 and _tpu_recovered(e):
+                continue
+            break
     try:
         up, down = probe_link()
         emit("host_link_MBps", down, vs=0.0, unit="MB/s", up_MBps=up)

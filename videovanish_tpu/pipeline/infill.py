@@ -111,11 +111,12 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
     dilated = None  # device copy, only materialized on the device path
     with stage_timer("mask_dilate", frames=T):
         if host_post:
-            m_any = np.any(masks > 0, axis=-1)
+            # or-channels beats np.any(axis=-1) ~12x on strided RGB rows;
+            # cv2's iterated 3x3-cross dilate beats the native chamfer
+            # kernel ~5x (both scipy.binary_dilation-exact, test_native.py)
+            m_any = (masks[..., 0] | masks[..., 1] | masks[..., 2]) > 0
             if mask_dilation_iter > 0:
-                m_any = np.stack([nat.binary_dilate(m_any[i],
-                                                    mask_dilation_iter)
-                                  for i in range(T)])
+                m_any = _host_dilate(nat, m_any, mask_dilation_iter)
             dilated_np = m_any.astype(np.uint8) * np.uint8(255)
         else:
             dilated = binarize_and_dilate(jnp.asarray(masks),
@@ -200,6 +201,22 @@ def _native():
         return binding if binding.available() else None
     except Exception:  # pragma: no cover - build failure -> device path
         return None
+
+
+def _host_dilate(nat, m_any, iters: int):
+    """Batched binary dilation on host, scipy.binary_dilation-exact
+    (iterated 3x3 cross == L1-distance threshold). cv2's SIMD dilate is
+    ~5x faster than the native chamfer kernel; fall back when absent."""
+    try:
+        import cv2
+        cross = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3))
+        return np.stack([
+            cv2.dilate(m_any[i].astype(np.uint8), cross,
+                       iterations=iters) > 0
+            for i in range(m_any.shape[0])])
+    except ImportError:  # pragma: no cover - cv2 ships with the image
+        return np.stack([nat.binary_dilate(m_any[i], iters)
+                         for i in range(m_any.shape[0])])
 
 
 def _host_composite(nat, inpainted, frames, dilated_np, feather_px,
