@@ -53,19 +53,61 @@ class TestAnnotationStore:
 
 
 def test_ms_frame_conversion_without_qt():
-    """The conversion helpers mirror reference :57-61; import them only
-    when PySide6 exists, else verify the math inline."""
-    if HAS_PYSIDE:
-        from videovanish_tpu.gui.player import frame_to_ms, ms_to_frame
-    else:
-        def ms_to_frame(ms, fps):
-            return int(round(ms * fps / 1000.0))
-
-        def frame_to_ms(fr, fps):
-            return int(round(fr * 1000.0 / fps))
+    """The conversion helpers mirror reference :57-61; gui/sync_logic.py
+    is PySide6-free by design."""
+    from videovanish_tpu.gui.sync_logic import frame_to_ms, ms_to_frame
     fps = 29.97
     for f in [0, 1, 2, 100, 1234]:
         assert ms_to_frame(frame_to_ms(f, fps), fps) == f
+
+
+class TestSyncLogic:
+    """The 3-player sync policy (reference videovanish.py:493-980),
+    testable headlessly via gui/sync_logic.py — gui/player.py's Qt
+    methods delegate to these functions."""
+
+    def test_resync_only_over_drift_threshold(self):
+        from videovanish_tpu.gui.sync_logic import followers_to_resync
+        # drift of exactly 35 ms does NOT resync (strictly greater,
+        # reference :872-884); 36 ms does
+        assert followers_to_resync(1000, [1035, 965], [True, True]) == []
+        assert followers_to_resync(1000, [1036, 963], [True, True]) == [0, 1]
+        assert followers_to_resync(1000, [1100, 1000], [True, True]) == [0]
+
+    def test_resync_skips_unloaded_followers(self):
+        from videovanish_tpu.gui.sync_logic import followers_to_resync
+        # a follower with no source never snaps, however far off
+        assert followers_to_resync(1000, [0, 2000], [False, True]) == [1]
+        assert followers_to_resync(1000, [0, 2000], [False, False]) == []
+
+    def test_master_time_prefers_frame_timestamp(self):
+        from videovanish_tpu.gui.sync_logic import master_frame_ms
+        # valid sink timestamp (us) wins over the player clock (ms)
+        assert master_frame_ms(500_000, 123.0) == 500.0
+        # invalid (-1/0/None) timestamps fall back to the clock
+        assert master_frame_ms(-1, 123.0) == 123.0
+        assert master_frame_ms(0, 123.0) == 123.0
+        assert master_frame_ms(None, 123.0) == 123.0
+
+    def test_frame_count_from_duration(self):
+        from videovanish_tpu.gui.sync_logic import frame_count
+        assert frame_count(1000.0, 24.0) == 24
+        assert frame_count(0.0, 24.0) == 0
+
+    def test_preview_frame_index_window(self):
+        from videovanish_tpu.gui.sync_logic import preview_frame_index
+        # 22-frame preview starting at frame 10 (reference N=22, :1572)
+        assert preview_frame_index(10, 22, 9) is None
+        assert preview_frame_index(10, 22, 10) == 0
+        assert preview_frame_index(10, 22, 31) == 21
+        assert preview_frame_index(10, 22, 32) is None
+
+    def test_chip_bar_sorted_insert(self):
+        from videovanish_tpu.gui.sync_logic import chip_insert_pos
+        order = []
+        for f in [30, 10, 20, 5, 40]:
+            order.insert(chip_insert_pos(order, f), f)
+        assert order == [5, 10, 20, 30, 40]
 
 
 def test_videovanish_cli_degrades_without_pyside(tmp_path):

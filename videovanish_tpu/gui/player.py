@@ -25,17 +25,13 @@ from PySide6.QtWidgets import (
 )
 
 from videovanish_tpu.gui.view import VideoView
-
-RESYNC_INTERVAL_MS = 120
-RESYNC_DRIFT_MS = 35
-
-
-def ms_to_frame(ms: float, fps: float) -> int:
-    return int(round(ms * fps / 1000.0))
-
-
-def frame_to_ms(frame: int, fps: float) -> int:
-    return int(round(frame * 1000.0 / fps))
+# sync policy lives in sync_logic.py (pure, PySide6-free) so it is
+# testable on hosts without Qt; this module is the thin Qt shell
+from videovanish_tpu.gui.sync_logic import (  # noqa: F401 (re-exports)
+    RESYNC_DRIFT_MS, RESYNC_INTERVAL_MS, chip_insert_pos,
+    followers_to_resync, frame_count, frame_to_ms, master_frame_ms,
+    ms_to_frame, preview_frame_index,
+)
 
 
 class KeyframeChipBar(QWidget):
@@ -57,9 +53,7 @@ class KeyframeChipBar(QWidget):
             from PySide6.QtGui import QIcon
             btn.setIcon(QIcon(thumb))
         btn.clicked.connect(lambda: self.chipClicked.emit(frame_idx))
-        # keep sorted by frame index
-        pos = sum(1 for f in self._chips if f < frame_idx)
-        self._lay.insertWidget(pos, btn)
+        self._lay.insertWidget(chip_insert_pos(self._chips, frame_idx), btn)
         self._chips[frame_idx] = btn
 
     def remove_chip(self, frame_idx: int):
@@ -144,7 +138,7 @@ class VideoPlayer(QWidget):
                     "requires fps metadata for frame-accurate seeking.")
             self.fps = float(fps)
             dur = self.player_orig.duration()
-            self.n_frames = ms_to_frame(dur, self.fps)
+            self.n_frames = frame_count(dur, self.fps)
             self.slider.setRange(0, max(0, self.n_frames - 1))
             # poster frame
             self.player_orig.pause()
@@ -158,8 +152,7 @@ class VideoPlayer(QWidget):
         if self.fps is None:
             return
         ts_us = frame.startTime() if frame.isValid() else -1
-        ms = ts_us / 1000.0 if ts_us and ts_us > 0 \
-            else self.player_orig.position()
+        ms = master_frame_ms(ts_us, self.player_orig.position())
         idx = ms_to_frame(ms, self.fps)
         if idx != self.current_frame:
             self.current_frame = idx
@@ -173,11 +166,11 @@ class VideoPlayer(QWidget):
     # ---- follower sync ------------------------------------------------
     def _playing_resync(self):
         pos = self.player_orig.position()
-        for pl in (self.player_infill, self.player_mask):
-            if pl.source().isEmpty():
-                continue
-            if abs(pl.position() - pos) > RESYNC_DRIFT_MS:
-                pl.setPosition(pos)
+        followers = (self.player_infill, self.player_mask)
+        for i in followers_to_resync(
+                pos, [pl.position() for pl in followers],
+                [not pl.source().isEmpty() for pl in followers]):
+            followers[i].setPosition(pos)
 
     def _snap_followers(self):
         pos = self.player_orig.position()
@@ -237,5 +230,5 @@ class VideoPlayer(QWidget):
                 show(None)
                 continue
             start, frames = store
-            i = self.current_frame - start
-            show(frames[i] if 0 <= i < len(frames) else None)
+            i = preview_frame_index(start, len(frames), self.current_frame)
+            show(frames[i] if i is not None else None)

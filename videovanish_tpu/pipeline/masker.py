@@ -7,6 +7,12 @@ as xywh -> xyxy, logits thresholded at 0, per-object HSV colors with
 higher obj_id overwriting lower. The predictor underneath is the
 TPU-native streaming SAM2 (models/sam2/predictor.py) instead of the
 torch fork.
+
+Coordinate ambiguity (kept deliberately, reference sam2_masker.py:91-98):
+a value in [0, 1] is ALWAYS treated as normalized, so an absolute pixel
+coordinate of 0 or 1 px is indistinguishable from a normalized edge
+coordinate. GUI-produced annotations are always normalized, so this only
+affects hand-written absolute-pixel JSON at the 1-px border.
 """
 from __future__ import annotations
 
