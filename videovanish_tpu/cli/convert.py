@@ -80,6 +80,15 @@ def assemble_diffueraser(vae_path, unet_path, brushnet_path, clip_path,
 
 
 def main(argv=None) -> None:
+    # Weight conversion is pure host work: never initialize the TPU
+    # backend (a down/degraded tunnel would hang the whole conversion).
+    # VV_PLATFORM still overrides for exotic setups.
+    import os
+
+    from videovanish_tpu.core.runtime import apply_env_platform
+    os.environ.setdefault("VV_PLATFORM", "cpu")
+    apply_env_platform()
+
     rules_by_model = _rules()
     ap = argparse.ArgumentParser(
         description="Convert a torch/safetensors checkpoint to an orbax "
