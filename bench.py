@@ -22,12 +22,38 @@ the reference publishes no numbers; this host is a single v5e).
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 REPEATS = 3  # best-of: the host link swings ~2x minute to minute
+
+# The axon tunnel has two failure modes: jax errors (UNAVAILABLE — handled
+# by _tpu_recovered retries) and silent HANGS where device queries block
+# forever. A hung jax call can't be interrupted in-thread, so a watchdog
+# thread guarantees the driver always gets a JSON line: if the primary
+# metric hasn't been emitted after PRIMARY_BUDGET_S (first 720p compile
+# takes ~5-10 min through the remote-compile path, so this is generous),
+# print an error metric and hard-exit; once the primary is out, allow
+# SECONDARY_BUDGET_S more for the remaining legs, then exit 0.
+PRIMARY_BUDGET_S = int(os.environ.get("VV_BENCH_PRIMARY_BUDGET_S",
+                                      45 * 60))
+SECONDARY_BUDGET_S = int(os.environ.get("VV_BENCH_SECONDARY_BUDGET_S",
+                                        20 * 60))
+_primary_emitted = threading.Event()
+
+
+def _watchdog():
+    if not _primary_emitted.wait(PRIMARY_BUDGET_S):
+        emit("vanish_frames_per_sec", 0.0, vs=0.0,
+             error=f"watchdog: no primary metric after "
+                   f"{PRIMARY_BUDGET_S}s (TPU tunnel hung)")
+        os._exit(1)
+    time.sleep(SECONDARY_BUDGET_S)
+    os._exit(0)  # primary metric is recorded; don't hang on secondaries
 
 
 def probe_link(mb: int = 8):
@@ -139,6 +165,7 @@ def _tpu_recovered(err, waits=(120, 300, 600)) -> bool:
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     configs = [
         (720, 1280, 38, 960),   # 720p, reference-default inference res
         (480, 854, 38, 960),    # 480p fallback
@@ -150,6 +177,7 @@ def main():
             try:
                 e2e_fps, model_fps = bench_pipeline(h, w, t, mis)
                 emit(f"vanish_frames_per_sec_{h}p_1chip", e2e_fps)
+                _primary_emitted.set()
                 emit(f"model_frames_per_sec_{h}p_1chip", model_fps)
                 done = True
                 break
@@ -165,6 +193,7 @@ def main():
     if not done:
         emit("vanish_frames_per_sec", 0.0, vs=0.0,
              error=f"{type(last_err).__name__}: {last_err}")
+        _primary_emitted.set()
         return 1
 
     for attempt in range(2):
