@@ -166,6 +166,11 @@ def _tpu_recovered(err, waits=(120, 300, 600)) -> bool:
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    # persistent jit cache: SD-sized remote compiles take minutes; cached
+    # warmup keeps the whole bench inside the watchdog budget (timed
+    # regions are unaffected — warmup is excluded from every metric)
+    from videovanish_tpu.core.runtime import apply_compilation_cache
+    apply_compilation_cache()
     configs = [
         (720, 1280, 38, 960),   # 720p, reference-default inference res
         (480, 854, 38, 960),    # 480p fallback

@@ -17,6 +17,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent jit cache: no-op on the CPU backend (reloading XLA:CPU AOT
+# blobs trips a machine-feature mismatch on this host — see
+# core/runtime.apply_compilation_cache); set VV_JIT_CACHE=<dir> to force
+from videovanish_tpu.core.runtime import apply_compilation_cache
+
+apply_compilation_cache()
+
 import numpy as np
 import pytest
 

@@ -6,7 +6,17 @@ import os
 import numpy as np
 import pytest
 
-from videovanish_tpu.pipeline.chunking import _blend_ranges, _chunk_plan
+from videovanish_tpu.pipeline.chunking import _chunk_plan, _pair_overlaps
+
+
+def _emit_ranges(plan):
+    """Spec for the frames each chunk EMITS in vanish_video_chunked: the
+    driver passes return_latent_tail=ov_next, so chunk i writes
+    [s, e - ov_next) and the final chunk writes through its end —
+    concatenated, every frame exactly once."""
+    ovs = _pair_overlaps(plan)
+    return [(s, e if i == len(plan) - 1 else e - ovs[i + 1])
+            for i, (s, e) in enumerate(plan)]
 
 
 class TestPlan:
@@ -16,7 +26,7 @@ class TestPlan:
     def test_every_frame_finalized_once(self, total, chunk, ov):
         ov = min(ov, chunk - 1)
         plan = _chunk_plan(total, chunk, ov)
-        fin = _blend_ranges(plan)
+        fin = _emit_ranges(plan)
         covered = np.zeros(total, int)
         for lo, hi in fin:
             covered[lo:hi] += 1

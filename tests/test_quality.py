@@ -88,3 +88,17 @@ def test_video_metrics_summary():
     assert 0.0 < m["ssim"] <= 1.0
     with pytest.raises(ValueError):
         video_metrics(a, b[:2])
+
+
+def test_video_metrics_identical_frame_does_not_hide_bad_frames():
+    # Regression: a single bit-identical frame must not turn the video
+    # PSNR into +inf (it would let `vv-compare --min_psnr` pass a video
+    # that is wrong everywhere else). Video PSNR comes from mean MSE.
+    good = np.full((16, 16, 3), 128, np.uint8)
+    bad = np.zeros((16, 16, 3), np.uint8)
+    m = video_metrics([good, good], [good, bad])  # frame 0 identical
+    assert np.isfinite(m["psnr"])
+    assert m["psnr"] < 20.0  # dominated by the wrong frame
+    assert m["psnr_min"] < 20.0
+    m_all_same = video_metrics([good, good], [good, good])
+    assert m_all_same["psnr"] == float("inf")

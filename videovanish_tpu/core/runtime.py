@@ -11,6 +11,45 @@ from __future__ import annotations
 import os
 
 
+def apply_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache (VV_JIT_CACHE=0 opts
+    out; VV_JIT_CACHE=<dir> overrides the location AND forces it on for
+    any backend). SD-sized programs take minutes through this host's
+    remote compiler — caching them makes every process after the first
+    start in seconds. TPU-backend only by default: reloading XLA:CPU AOT
+    blobs across processes trips a machine-feature mismatch ("could lead
+    to execution errors such as SIGILL") on this host, and CPU compiles
+    are cheap anyway."""
+    val = os.environ.get("VV_JIT_CACHE", "")
+    if val == "0":
+        return
+    cache_dir = val or os.path.join(
+        os.path.expanduser("~"), ".cache", "videovanish_tpu", "jit")
+    try:
+        import jax
+        if not val:
+            # Decide the backend WITHOUT initializing it: calling
+            # jax.default_backend() here would pin the sitecustomize
+            # TPU plugin before apply_env_platform/conftest can force
+            # CPU (and attach an unwanted extra process to the TPU).
+            import jax._src.xla_bridge as xb
+            if xb.backends_are_initialized():
+                if jax.default_backend() != "tpu":
+                    return
+            else:
+                plats = jax.config.jax_platforms \
+                    or os.environ.get("VV_PLATFORM", "")
+                if "cpu" in str(plats):
+                    return
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default min_compile_time (1s) skips trivial programs; cache
+        # errors are non-fatal by default (raise_persistent_cache_errors
+        # is False), so a wedged filesystem can't break inference
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def apply_env_platform() -> None:
     plat = os.environ.get("VV_PLATFORM")
     if plat:
@@ -20,6 +59,8 @@ def apply_env_platform() -> None:
             n = os.environ.get("VV_CPU_DEVICES")
             if n:
                 jax.config.update("jax_num_cpu_devices", int(n))
+    # after the platform decision: the cache keys off the chosen backend
+    apply_compilation_cache()
     if os.environ.get("VV_DEBUG_NANS") == "1":
         # numerical-sanitizer mode (SURVEY.md §5 race/sanitizer row: jit
         # purity removes data races; this catches NaN/Inf at the op that

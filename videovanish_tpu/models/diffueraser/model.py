@@ -46,10 +46,8 @@ from videovanish_tpu.utils.observability import stage_timer
 def _emit_stage(name: str, seconds: float, **fields):
     """Record an already-measured duration as a stage (used for phases
     whose end is only known after an explicit device sync)."""
-    from videovanish_tpu.utils import observability as _obs
-    for sink in _obs._STAGE_COLLECTORS:
-        sink.append((name, seconds, fields))
-    _obs._emit("stage", name=name, seconds=round(seconds, 4), **fields)
+    from videovanish_tpu.utils.observability import record_stage
+    record_stage(name, seconds, **fields)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))

@@ -70,20 +70,6 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
     return (out + bias).astype(x.dtype)
 
 
-def split_offset_mask(raw, groups: int, K: int = 9):
-    """BasicVSR++ conv_offset head output (B, H, W, 27*G) ->
-    (offset (B,H,W,G,K,2), mask_logits (B,H,W,G,K)).
-
-    torch: o1, o2, mask = chunk(raw, 3, dim=C); offset = cat(o1, o2)
-    with torchvision channel layout 2*(g*K + k) + {0:dy, 1:dx}; the o1
-    half covers groups [0, G/2), o2 covers [G/2, G)."""
-    B, H, W, _ = raw.shape
-    o_flat = raw[..., : 2 * groups * K]
-    mask_logits = raw[..., 2 * groups * K:]
-    offset = o_flat.reshape(B, H, W, groups, K, 2)
-    return offset, mask_logits.reshape(B, H, W, groups, K)
-
-
 class SecondOrderDeformableAlignment(nn.Module):
     """ProPainter's deformable alignment: a conv head predicts per-group
     offsets/masks from conditioning features, then a modulated deform

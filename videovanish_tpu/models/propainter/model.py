@@ -188,15 +188,21 @@ class Propainter:
         starts = list(range(0, max(T - NL, 0) + 1, stride))
         if starts[-1] != T - NL:
             starts.append(T - NL)
+        # Published ref selection (ProPainter inference get_ref_index with
+        # num_ref=-1): every global ref at `ref_stride` spacing outside the
+        # window — the count varies per window, so each distinct count
+        # compiles its own window program (the _jit cache keys on n_ref;
+        # in practice there are <= 2 distinct counts per chunk shape).
+        # Truncating to the fleet-wide minimum would drop the temporally
+        # CLOSEST refs for edge windows and quietly degrade the prior.
         ref_candidates = [[i for i in range(0, T, max(1, ref_stride))
                            if i < s or i >= s + NL] for s in starts]
-        n_ref = min(len(c) for c in ref_candidates)
-        run_w = self._window_fn(NL, n_ref, h, w)
 
         acc = jnp.zeros((T, h, w, 3), jnp.float32)
         wsum = jnp.zeros((T, 1, 1, 1), jnp.float32)
         for s, cand in zip(starts, ref_candidates):
-            refs = jnp.asarray(cand[:n_ref], jnp.int32) if n_ref else \
+            run_w = self._window_fn(NL, len(cand), h, w)
+            refs = jnp.asarray(cand, jnp.int32) if cand else \
                 jnp.zeros((0,), jnp.int32)
             pred = run_w(self.params, updated, upd_masks, masks1,
                          comp_f, comp_b, jnp.int32(s), refs)

@@ -59,17 +59,6 @@ def _pair_overlaps(plan):
     return [0] + [plan[i - 1][1] - plan[i][0] for i in range(1, len(plan))]
 
 
-def _blend_ranges(plan):
-    """For each chunk, the frame range it FINALIZES: a chunk owns its
-    leading overlap (after cross-fading with the previous chunk's tail)
-    up to — but excluding — the overlap shared with the NEXT chunk."""
-    ovs = _pair_overlaps(plan)
-    out = []
-    for i, (s, e) in enumerate(plan):
-        out.append((s, e if i == len(plan) - 1 else e - ovs[i + 1]))
-    return out
-
-
 def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
                          start_frame: int = 0, max_frames: int = -1,
                          chunk_frames: Optional[int] = None,
@@ -102,8 +91,12 @@ def vanish_video_chunked(color_video: str, mask_video: str, out_video: str,
     plan = _chunk_plan(n_total, chunk, overlap)
     pair_ov = _pair_overlaps(plan)
 
+    # fmt2 = latent-carry work-dir format (chunk npz carries carry_z /
+    # carry_w, frames exclude the withheld tail). Versioning the job id
+    # makes manifests from older formats non-resumable instead of
+    # crashing on missing npz keys / duplicating seam frames.
     job_id = hashlib.sha1(
-        f"{os.path.abspath(color_video)}|{os.path.abspath(mask_video)}|"
+        f"fmt2|{os.path.abspath(color_video)}|{os.path.abspath(mask_video)}|"
         f"{start_frame}|{max_frames}|{chunk}|{overlap}|{mask_dilation_iter}|"
         f"{max_img_size}|{keep_unmasked_original}|{feather_px}".encode()
     ).hexdigest()[:16]

@@ -59,7 +59,21 @@ def collect_stages(into: list):
     try:
         yield into
     finally:
-        _STAGE_COLLECTORS.remove(into)
+        # identity-based removal: nested collectors receive identical
+        # appends, so equal-by-value lists must not unregister each other
+        for i in range(len(_STAGE_COLLECTORS) - 1, -1, -1):
+            if _STAGE_COLLECTORS[i] is into:
+                del _STAGE_COLLECTORS[i]
+                break
+
+
+def record_stage(stage: str, seconds: float, **fields) -> None:
+    """Report a stage duration measured externally (e.g. sub-stage
+    splits inside model code): fans out to active collect_stages sinks
+    and the structured log, exactly like stage_timer's exit path."""
+    for sink in _STAGE_COLLECTORS:
+        sink.append((stage, seconds, fields))
+    _emit("stage", name=stage, seconds=round(seconds, 4), **fields)
 
 
 @contextlib.contextmanager
@@ -69,10 +83,7 @@ def stage_timer(stage: str, **fields):
     t0 = time.perf_counter()
     with trace_annotation(stage):
         yield
-    dt = time.perf_counter() - t0
-    for sink in _STAGE_COLLECTORS:
-        sink.append((stage, dt, fields))
-    _emit("stage", name=stage, seconds=round(dt, 4), **fields)
+    record_stage(stage, time.perf_counter() - t0, **fields)
 
 
 @contextlib.contextmanager

@@ -94,10 +94,14 @@ def ssim(a: np.ndarray, b: np.ndarray, max_val: float = 255.0,
 def video_metrics(frames_a, frames_b, max_val: float = 255.0) -> dict:
     """Per-video PSNR/SSIM summary for two equal-length frame sequences.
 
-    Returns {"psnr": mean-of-frames, "psnr_min": worst frame,
+    Returns {"psnr": video PSNR, "psnr_min": worst frame,
              "ssim": mean-of-frames, "ssim_min": worst frame,
-             "frames": N}. PSNR of a bit-identical frame contributes as
-    +inf; if every frame is identical the means are +inf.
+             "frames": N}. "psnr" is computed from the mean MSE over ALL
+    frames (the standard video PSNR), so bit-identical frames pull the
+    average MSE down without turning the summary into +inf — a single
+    untouched frame must not let `vv-compare --min_psnr` pass a video
+    that is wrong everywhere else. It is +inf only if every frame is
+    identical. "psnr_min" is still the worst single frame.
     """
     n = len(frames_a)
     if n != len(frames_b):
@@ -106,10 +110,17 @@ def video_metrics(frames_a, frames_b, max_val: float = 255.0) -> dict:
         raise ValueError("empty video")
     psnrs = np.array([psnr(frames_a[i], frames_b[i], max_val)
                       for i in range(n)])
+    mses = np.array([
+        np.mean((np.asarray(frames_a[i], np.float64)
+                 - np.asarray(frames_b[i], np.float64)) ** 2)
+        for i in range(n)])
+    mean_mse = float(np.mean(mses))
+    video_psnr = float("inf") if mean_mse == 0.0 else \
+        float(10.0 * np.log10(max_val * max_val / mean_mse))
     ssims = np.array([ssim(frames_a[i], frames_b[i], max_val)
                       for i in range(n)])
     return {
-        "psnr": float(np.mean(psnrs)),
+        "psnr": video_psnr,
         "psnr_min": float(np.min(psnrs)),
         "ssim": float(np.mean(ssims)),
         "ssim_min": float(np.min(ssims)),
