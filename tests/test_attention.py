@@ -95,6 +95,48 @@ def test_packed_small_attention_pallas_interpret(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_packed_tokenmajor_interpret(rng):
+    """In-kernel-packed token-major kernel == dense reference (CPU
+    interpreter). Covers the temporal-attention hot path's math: lane-
+    masked head separation + block-diagonal row packing."""
+    from videovanish_tpu.ops.attention import _packed_tokenmajor_tpu
+    N, S, heads, d = 40, 22, 4, 16
+    C = heads * d
+    q = rng.standard_normal((N, S, C)).astype(np.float32)
+    k = rng.standard_normal((N, S, C)).astype(np.float32)
+    v = rng.standard_normal((N, S, C)).astype(np.float32)
+
+    def split(t):
+        return t.reshape(N, S, heads, d).transpose(0, 2, 1, 3)
+
+    ref = manual_attention(split(q), split(k), split(v), d ** -0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(N, S, C)
+    out = np.asarray(_packed_tokenmajor_tpu(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads,
+        d ** -0.5, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_attention_tokenmajor_fallback_matches(rng):
+    """Off-TPU (and off-shape) the token-major wrapper reduces to the
+    head-split + generic dispatch — must equal the dense reference."""
+    from videovanish_tpu.ops.attention import attention_tokenmajor
+    N, S, heads, d = 6, 22, 2, 8
+    C = heads * d
+    q = rng.standard_normal((N, S, C)).astype(np.float32)
+    k = rng.standard_normal((N, S, C)).astype(np.float32)
+    v = rng.standard_normal((N, S, C)).astype(np.float32)
+
+    def split(t):
+        return t.reshape(N, S, heads, d).transpose(0, 2, 1, 3)
+
+    ref = manual_attention(split(q), split(k), split(v), d ** -0.5)
+    ref = ref.transpose(0, 2, 1, 3).reshape(N, S, C)
+    out = np.asarray(attention_tokenmajor(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_group_norm_matches_torch(rng):
     import torch
     from videovanish_tpu.ops.groupnorm import group_norm, group_norm_silu

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from videovanish_tpu.ops.attention import attention as flash_attention
+from videovanish_tpu.ops.attention import attention_tokenmajor
 from videovanish_tpu.ops.groupnorm import group_norm, group_norm_silu
 
 
@@ -112,7 +113,45 @@ class Attention(nn.Module):
     attn_fn: Optional[callable] = None
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, t_frames: Optional[int] = None):
+        if t_frames is not None:
+            # Temporal self-attention with SPATIAL-layout input/output
+            # (B*T, H, W, C): the projections and out-proj are per-token,
+            # so they run here in the natural row-major layout (XLA's
+            # "free" bitcast-transpose otherwise drags LayerNorm/FF into
+            # batch-minor layouts, measured ~2x the whole block's cost at
+            # 720p); only q/k/v cross into token-major at the kernel edge.
+            BT, H, W, C = x.shape
+            B = BT // t_frames
+            inner = self.num_heads * self.head_dim
+            q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_q")(x)
+            k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_k")(x)
+            v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_v")(x)
+
+            def tm(t):  # (B*T, H, W, inner) -> (B*H*W, T, inner)
+                t = t.reshape(B, t_frames, H * W, inner)
+                return t.transpose(0, 2, 1, 3).reshape(
+                    B * H * W, t_frames, inner)
+
+            if self.attn_fn is not None:
+                def split(t):
+                    t = tm(t).reshape(B * H * W, t_frames,
+                                      self.num_heads, self.head_dim)
+                    return t.transpose(0, 2, 1, 3)
+
+                out = self.attn_fn(split(q), split(k), split(v))
+                out = out.transpose(0, 2, 1, 3).reshape(
+                    B * H * W, t_frames, inner)
+            else:
+                out = attention_tokenmajor(tm(q), tm(k), tm(v),
+                                           self.num_heads)
+            out = out.reshape(B, H * W, t_frames, inner) \
+                .transpose(0, 2, 1, 3).reshape(BT, H, W, inner)
+            return nn.Dense(self.out_dim or C, dtype=self.dtype,
+                            name="to_out_0")(out)
         B, S, C = x.shape
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
@@ -120,12 +159,21 @@ class Attention(nn.Module):
         k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(ctx)
 
-        def split(t):
-            return t.reshape(B, -1, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+        if context is None and self.attn_fn is None:
+            # token-major self-attention: small-S shapes (temporal
+            # attention) run the in-kernel-packed Pallas path with no
+            # head-split/packing relayouts in HBM; other shapes fall
+            # through to the same flash/XLA dispatch as below
+            out = attention_tokenmajor(q, k, v, self.num_heads)
+        else:
+            def split(t):
+                return t.reshape(B, -1, self.num_heads,
+                                 self.head_dim).transpose(0, 2, 1, 3)
 
-        impl = self.attn_fn if self.attn_fn is not None else flash_attention
-        out = impl(split(q), split(k), split(v))
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+            impl = self.attn_fn if self.attn_fn is not None \
+                else flash_attention
+            out = impl(split(q), split(k), split(v))
+            out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         return nn.Dense(self.out_dim or C, dtype=self.dtype, name="to_out_0")(out)
 
 

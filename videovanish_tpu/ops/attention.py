@@ -312,6 +312,128 @@ def _packed_small_attention_tpu(q, k, v, scale, block_g=16,
     return out.reshape(G * J, S, D)[:BH].reshape(B, H, S, D)
 
 
+def _packed_tokenmajor_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                              s_q, heads, scale_l2e, bg, J):
+    """Packed small-seq attention over TOKEN-MAJOR blocks.
+
+    Refs are (bg*J*s_q, C) slabs of the flat (N*s_q, C) q/k/v — i.e. the
+    raw layout of the projection matmuls, with NO head-split transpose
+    and NO packing reshape ever materialized in HBM (profiled at 720p
+    temporal-attention shapes, those relayouts cost ~4x the attention
+    math itself). The row-packing happens as a VMEM reshape here, and
+    heads are separated by LANE MASKING: zeroing every lane outside head
+    h before a full-C contraction yields exactly head h's scores, so the
+    (C = heads*d) axis never has to be physically split. The PV dot
+    masks v the same way, making each accumulation touch only head h's
+    output lanes."""
+    C = q_ref.shape[-1]
+    d = C // heads
+    JS = J * s_q
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    qs = (q.astype(jnp.float32) * scale_l2e).astype(q.dtype)
+    outs = []
+    blockmask = None
+    for h in range(heads):
+        # static lane slices separate heads inside VMEM — no (B,H,S,D)
+        # relayout ever reaches HBM
+        qh = qs[:, :, h * d:(h + 1) * d]
+        kh = k[:, :, h * d:(h + 1) * d]
+        vh = v[:, :, h * d:(h + 1) * d]
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (bg, JS, JS)
+        if blockmask is None:
+            rb = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // s_q
+            cb = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) // s_q
+            blockmask = rb == cb
+        s = jnp.where(blockmask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pn = (p / l).astype(v.dtype)
+        outs.append(jax.lax.dot_general(
+            pn, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))       # (bg, JS, d)
+    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for b in range(min(n, cap), 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret"))
+def _packed_tokenmajor_tpu(q, k, v, heads, scale, interpret=False):
+    """Token-major packed small-sequence self-attention.
+
+    q/k/v: (N, S, C) with C = heads * head_dim — the projection outputs
+    as-is. Returns (N, S, C). Same packing math as
+    _packed_small_attention (J = 128 // S sequences share one MXU tile
+    under a block-diagonal mask), but both the packing and the head
+    split live INSIDE the kernel, so XLA never lays out or relayouts a
+    (B, H, S, D) view. Requires J | N (the temporal-attention row counts
+    B*H*W at every UNet level satisfy this); callers fall back to the
+    (B,H,S,D) paths otherwise."""
+    N, S, C = q.shape
+    J = max(1, 128 // S)
+    G = N // J
+    # VMEM per program: 3 qkv in + 1 out (bg*J*S x C bf16, double-
+    # buffered) + f32 scores/p (JS x 128-rounded) + f32 acc; cap ~10MB.
+    c_lanes = _round_up(C, 128)
+    js_pad = _round_up(J * S, 8)
+    per_g = (js_pad * c_lanes * 2) * (4 * 2 + 4) \
+        + js_pad * _round_up(J * S, 128) * 4 * 2
+    bg = _largest_divisor(G, max(1, (10 << 20) // per_g))
+
+    q2 = q.reshape(G, J * S, C)
+    k2 = k.reshape(G, J * S, C)
+    v2 = v.reshape(G, J * S, C)
+    spec = pl.BlockSpec((bg, J * S, C), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_packed_tokenmajor_kernel, s_q=S, heads=heads,
+                          scale_l2e=float(scale) * _LOG2E, bg=bg, J=J),
+        grid=(G // bg,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, J * S, C), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2)
+    return out.reshape(N, S, C)
+
+
+def attention_tokenmajor(q, k, v, heads: int, scale: float | None = None):
+    """Self-attention over token-major (N, S, C) q/k/v, C = heads*d.
+
+    Dispatch: the in-kernel-packed Pallas path when it applies (TPU,
+    small S, J | N), else head-split + the generic `attention` dispatch.
+    This is the temporal-attention hot path: consuming the projection
+    outputs directly saves the head-split transpose and packing reshape
+    round-trips through HBM (~2x the whole block's attention cost at
+    720p shapes)."""
+    N, S, C = q.shape
+    d = C // heads
+    if scale is None:
+        scale = d ** -0.5
+    J = max(1, 128 // S)
+    if (_use_pallas() and 17 <= S <= 64 and C % heads == 0
+            and N % J == 0 and N // J >= 8):
+        return _packed_tokenmajor_tpu(q, k, v, heads, float(scale))
+
+    def split(t):
+        return t.reshape(N, S, heads, d).transpose(0, 2, 1, 3)
+
+    out = attention(split(q), split(k), split(v), scale=float(scale))
+    return out.transpose(0, 2, 1, 3).reshape(N, S, C)
+
+
 @functools.partial(jax.jit, static_argnames=("scale",))
 def _packed_small_attention(q, k, v, scale):
     """Attention for SMALL sequence lengths (temporal attention over a
