@@ -181,9 +181,17 @@ def main():
         for attempt in range(2):  # 2nd attempt only after worker recovery
             try:
                 e2e_fps, model_fps = bench_pipeline(h, w, t, mis)
-                emit(f"vanish_frames_per_sec_{h}p_1chip", e2e_fps)
+                import jax
+                from videovanish_tpu.pipeline.infill import _get_mesh
+                mesh = _get_mesh()
+                nd = len(jax.devices())
+                emit(f"vanish_frames_per_sec_{h}p_{nd}chip", e2e_fps,
+                     n_devices=nd,
+                     mesh=None if mesh is None else
+                     dict(zip(mesh.axis_names,
+                              (int(s) for s in mesh.devices.shape))))
                 _primary_emitted.set()
-                emit(f"model_frames_per_sec_{h}p_1chip", model_fps)
+                emit(f"model_frames_per_sec_{h}p_{nd}chip", model_fps)
                 done = True
                 break
             except Exception as e:  # worker crash / OOM: retry or shrink

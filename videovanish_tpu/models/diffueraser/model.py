@@ -502,15 +502,18 @@ class DiffuEraser:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from videovanish_tpu.core.mesh import DATA_AXIS
             _bs = NamedSharding(self.mesh, P(DATA_AXIS))
+            _rep = NamedSharding(self.mesh, P())
             _ndev = self.mesh.shape[DATA_AXIS]
 
             def put(a):
                 # frame axis must tile evenly over "data"; pick clip_length
                 # as a multiple of the data-axis size for full SPMD —
-                # otherwise this window runs unsharded
+                # otherwise this window replicates (it must still live on
+                # the mesh's device set: params are mesh-replicated, and
+                # jit rejects inputs committed to different device sets)
                 if a.shape[0] % _ndev == 0:
                     return jax.device_put(a, _bs)
-                return a
+                return jax.device_put(a, _rep)
         else:
             def put(a):
                 return a

@@ -40,6 +40,7 @@ video_inpainting_sd = None
 propainter = None
 last_ckpt = None
 _config = None
+_mesh = "unset"  # resolved lazily: Mesh | None once decided
 
 
 def _get_config():
@@ -56,11 +57,38 @@ def _get_config():
 
 def set_config(cfg) -> None:
     """Install a non-default config (tests / smoke use tiny_config)."""
-    global _config, video_inpainting_sd, propainter, last_ckpt
+    global _config, video_inpainting_sd, propainter, last_ckpt, _mesh
     _config = cfg
     video_inpainting_sd = None
     propainter = None
     last_ckpt = None
+    _mesh = "unset"
+
+
+def _get_mesh():
+    """Mesh policy for the judged pipeline surface (SURVEY.md §2e).
+
+    On any host exposing more than one jax device, run_infill_on_frames
+    (and therefore the chunked driver, the CLIs, and bench.py) runs SPMD
+    automatically: denoise-window frames shard over the "data" axis and
+    temporal attention rides the ring-attention path over ICI
+    (models/diffueraser/model.py _get_jitted). On one chip the decision
+    degenerates to None and the exact single-device program runs.
+
+    Env overrides: VV_MESH=0 forces single-device; VV_MODEL_PARALLEL=k
+    adds tensor parallelism over the "model" axis (heads/MLP sharding).
+    """
+    global _mesh
+    if _mesh == "unset":
+        if os.environ.get("VV_MESH", "auto") == "0":
+            _mesh = None
+        else:
+            import jax
+            from videovanish_tpu.core.mesh import make_mesh
+            mp = int(os.environ.get("VV_MODEL_PARALLEL", "1"))
+            n = len(jax.devices())
+            _mesh = make_mesh(model_parallel=mp) if n > 1 else None
+    return _mesh
 
 
 def _get_models(ckpt: str):
@@ -68,7 +96,19 @@ def _get_models(ckpt: str):
     cfg = _get_config()
     if last_ckpt != ckpt or video_inpainting_sd is None:
         from videovanish_tpu.models.diffueraser import DiffuEraser
-        video_inpainting_sd = DiffuEraser(config=cfg.diffueraser, ckpt=ckpt)
+        mesh = _get_mesh()
+        dcfg = cfg.diffueraser
+        if mesh is not None:
+            from videovanish_tpu.core.mesh import DATA_AXIS
+            ndev = int(mesh.shape[DATA_AXIS])
+            if ndev > 1 and dcfg.clip_length % ndev:
+                # round the temporal window up to a multiple of the data
+                # axis so EVERY window tiles evenly over the mesh (a
+                # non-divisible window silently runs unsharded)
+                import dataclasses
+                dcfg = dataclasses.replace(
+                    dcfg, clip_length=-(-dcfg.clip_length // ndev) * ndev)
+        video_inpainting_sd = DiffuEraser(config=dcfg, ckpt=ckpt, mesh=mesh)
         last_ckpt = ckpt
     if propainter is None:
         try:
