@@ -99,6 +99,13 @@ def main(argv=None) -> None:
     ap.add_argument("--output", required=True, help="orbax output directory")
     ap.add_argument("--dry_run", action="store_true",
                     help="print the converted tree structure, do not save")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA checkpoint(s) to fold into --input before "
+                         "conversion (peft/diffusers or kohya layout; the "
+                         "reference's '2-Step' ckpt is a PCM LoRA on the "
+                         "SD1.5 UNet). Repeatable; applied in order.")
+    ap.add_argument("--lora_scale", type=float, default=1.0,
+                    help="multiplier on every merged LoRA delta")
     ap.add_argument("--assemble", choices=["diffueraser"],
                     help="bundle already-converted orbax pieces instead of "
                          "converting a torch file")
@@ -126,6 +133,7 @@ def main(argv=None) -> None:
             args.input, rules,
             out_path=None if args.dry_run else args.output,
             special=specials,
+            lora_paths=args.lora, lora_scale=args.lora_scale,
             # fb-format SAM2 stores 4 separate point embeddings that
             # merge into one table (regexes can't express the stack)
             preprocess=sam2_fb_preprocess if args.model == "sam2" else None)

@@ -381,19 +381,140 @@ PROPAINTER_RULES: list[tuple[str, str]] = [
 ]
 
 
-def convert_torch_file(path: str, rules, out_path: str = None,
-                       special=(), preprocess=None):
-    """Load a .pt/.pth/.safetensors file and convert. Torch stays a
-    host-side conversion dependency only."""
+# ---------------------------------------------------------------------------
+# LoRA ingestion + merge (the reference's "2-Step" checkpoint is a PCM
+# LoRA applied to the SD1.5 UNet: /root/reference/diffuerase.py:37-45
+# selects it, install_videovanish.sh:79 pins peft to apply it). We merge
+# the low-rank update into the dense weights at CONVERSION time — at
+# inference the TPU then runs one dense matmul instead of W@x + B@(A@x),
+# and the rest of the pipeline never knows LoRA existed.
+# ---------------------------------------------------------------------------
+_LORA_SUFFIXES = (
+    # (suffix, role) — peft / new-diffusers, old-diffusers attn-procs,
+    # and kohya/webui factor names, plus the kohya per-module alpha
+    (".lora_A.default.weight", "down"), (".lora_B.default.weight", "up"),
+    (".lora_A.weight", "down"), (".lora_B.weight", "up"),
+    (".lora.down.weight", "down"), (".lora.up.weight", "up"),
+    (".lora_down.weight", "down"), (".lora_up.weight", "up"),
+    (".alpha", "alpha"),
+)
+
+
+def parse_lora_state(state: dict, component: str = "unet") -> dict:
+    """Parse a LoRA state dict into {base_name: {down, up, alpha}}.
+
+    Accepts the two public layouts the PCM/diffusers ecosystem ships:
+      peft / diffusers:  "unet.<dotted.path>.lora_A.weight" / "lora_B..."
+      kohya / webui:     "lora_unet_<path_with_underscores>.lora_down..."
+    base_name keeps whatever separator style the file used; merge_lora
+    resolves names against the base checkpoint underscore-insensitively,
+    so kohya's flattened names need no UNet-specific name table.
+    component selects which tower's entries to keep ("unet" or
+    "text_encoder") — PCM ships UNet-only LoRAs but the parser is shared.
+    """
+    out: dict = {}
+    for key, val in state.items():
+        for suf, role in _LORA_SUFFIXES:
+            if key.endswith(suf):
+                base = key[: -len(suf)]
+                break
+        else:
+            continue  # not a LoRA leaf (e.g. embedded metadata)
+        if base.startswith("lora_unet_"):
+            if component != "unet":
+                continue
+            base = base[len("lora_unet_"):]
+        elif re.match(r"^lora_te\d?_", base):
+            if component != "text_encoder":
+                continue
+            base = re.sub(r"^lora_te\d?_", "", base)
+        elif base.startswith("unet."):
+            if component != "unet":
+                continue
+            base = base[len("unet."):]
+        elif base.startswith("text_encoder."):
+            if component != "text_encoder":
+                continue
+            base = base[len("text_encoder."):]
+        arr = np.asarray(val)
+        out.setdefault(base, {})[role] = \
+            float(arr) if role == "alpha" else arr
+    for base, ent in out.items():
+        if "down" not in ent or "up" not in ent:
+            raise ValueError(f"LoRA entry {base!r} is missing its "
+                             f"{'up' if 'down' in ent else 'down'} factor")
+    return out
+
+
+def merge_lora(base_state: dict, lora: dict, scale: float = 1.0,
+               strict: bool = True) -> dict:
+    """Return a new torch-layout state dict with
+    W + scale * (alpha/r) * up @ down folded into every targeted weight.
+
+    Operates on the UNCONVERTED torch state dict so one code path covers
+    Linear (2-D), 1x1-Conv (peft on SD1.5's proj_in/out) and LoCon-style
+    kxk-Conv factors; layout transposes then happen once, downstream in
+    convert_state_dict. strict=True raises if any LoRA entry fails to
+    find its base weight — silently dropping distillation weights would
+    corrupt the 2-step model without any error signal.
+    """
+    flat_index = {k[: -len(".weight")].replace(".", "_"): k
+                  for k in base_state if k.endswith(".weight")}
+    out = dict(base_state)
+    misses = []
+    for name, ent in lora.items():
+        k = flat_index.get(name.replace(".", "_"))
+        if k is None:
+            misses.append(name)
+            continue
+        w = np.asarray(out[k])
+        down = np.asarray(ent["down"], np.float32)
+        up = np.asarray(ent["up"], np.float32)
+        r = down.shape[0]
+        if up.ndim == 4 and up.shape[2:] != (1, 1):
+            raise ValueError(f"LoRA {name!r}: up factor with spatial "
+                             f"extent {up.shape} is not supported")
+        alpha = ent.get("alpha", float(r))
+        delta = up.reshape(up.shape[0], -1) @ down.reshape(r, -1)
+        delta = delta.reshape((up.shape[0],) + down.shape[1:])
+        delta = delta * (scale * alpha / r)
+        if delta.shape != w.shape:
+            if delta.size == w.size:  # 2-D factors onto a 1x1 conv
+                delta = delta.reshape(w.shape)
+            else:
+                raise ValueError(
+                    f"LoRA {name!r}: delta {delta.shape} does not match "
+                    f"base weight {k!r} {w.shape}")
+        out[k] = (w.astype(np.float32) + delta).astype(w.dtype)
+    if misses and strict:
+        raise ValueError(
+            f"{len(misses)} LoRA entries matched no base weight "
+            f"(first: {misses[:5]}); pass strict=False to skip them")
+    return out
+
+
+def load_torch_state(path: str) -> dict:
+    """Load a .pt/.pth/.safetensors file as {key: np.ndarray}. Torch
+    stays a host-side conversion dependency only."""
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
-        state = load_file(path)
-    else:
-        import torch
-        obj = torch.load(path, map_location="cpu", weights_only=True)
-        state = obj.get("model", obj.get("state_dict", obj)) \
-            if isinstance(obj, dict) else obj
-        state = {k: v.numpy() for k, v in state.items()}
+        return load_file(path)
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    state = obj.get("model", obj.get("state_dict", obj)) \
+        if isinstance(obj, dict) else obj
+    return {k: v.numpy() for k, v in state.items()}
+
+
+def convert_torch_file(path: str, rules, out_path: str = None,
+                       special=(), preprocess=None,
+                       lora_paths=(), lora_scale: float = 1.0):
+    """Load a torch checkpoint, optionally fold LoRA file(s) into it
+    (the reference's PCM "2-Step" route), then name-remap + save."""
+    state = load_torch_state(path)
+    for lp in lora_paths:
+        state = merge_lora(state, parse_lora_state(load_torch_state(lp)),
+                           scale=lora_scale)
     if preprocess is not None:
         state = preprocess(state)
     tree = convert_state_dict(state, rules, special)
