@@ -97,7 +97,7 @@ def bench_pipeline(height=720, width=1280, frames=38, max_img_size=960):
     # warmup: compiles every shape in the path (prior chunks + denoise)
     _ = infill.run_infill_on_frames(fr, mk, max_img_size=max_img_size)
 
-    best, model_secs = float("inf"), float("inf")
+    best, model_secs, best_stages = float("inf"), float("inf"), []
     for _ in range(REPEATS):
         stages = []
         with collect_stages(stages):
@@ -107,10 +107,45 @@ def bench_pipeline(height=720, width=1280, frames=38, max_img_size=960):
             dt = time.perf_counter() - t0
         if dt < best:
             best = dt
+            best_stages = stages
             model_secs = sum(s for n, s, _ in stages
                              if n == "diffueraser_denoise") or float("inf")
     assert len(out) == frames and out[0].shape == (height, width, 3)
-    return frames / best, frames / model_secs
+    return frames / best, frames / model_secs, best_stages
+
+
+def bench_previews(height=720, width=1280, max_img_size=960):
+    """Interactive-session latencies (BASELINE config 5): the reference
+    GUI previews a 1-frame SAM2 mask (videovanish.py:1544) and a
+    22-frame infill window (videovanish.py:1572). Warm-cache, best-of-2.
+    Returns (mask_preview_s, infill_preview_s)."""
+    from videovanish_tpu.pipeline import infill, masker
+
+    video, masks = synth_clip(height, width, 24, seed=2)
+    ann = {"keyframes": [{
+        "frame_idx": 0,
+        "pos_clicks": [{"x": 0.5, "y": 0.5, "obj": 1}],
+        "neg_clicks": [], "rects": [],
+    }]}
+
+    def mask_once():
+        return masker.run_sam2_on_frames([video[0]], ann)
+
+    def infill_once():
+        n = infill._get_config().diffueraser.clip_length  # preview N=22
+        return infill.run_infill_on_frames(
+            list(video[:n]), list(masks[:n]), max_img_size=max_img_size)
+
+    mask_once(), infill_once()  # warm every shape in both paths
+    m_best = i_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mask_once()
+        m_best = min(m_best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        infill_once()
+        i_best = min(i_best, time.perf_counter() - t0)
+    return m_best, i_best
 
 
 def bench_sam2(height=480, width=854, frames=48):
@@ -180,7 +215,7 @@ def main():
     for h, w, t, mis in configs:
         for attempt in range(2):  # 2nd attempt only after worker recovery
             try:
-                e2e_fps, model_fps = bench_pipeline(h, w, t, mis)
+                e2e_fps, model_fps, stages = bench_pipeline(h, w, t, mis)
                 import jax
                 from videovanish_tpu.pipeline.infill import _get_mesh
                 mesh = _get_mesh()
@@ -192,6 +227,18 @@ def main():
                               (int(s) for s in mesh.devices.shape))))
                 _primary_emitted.set()
                 emit(f"model_frames_per_sec_{h}p_{nd}chip", model_fps)
+                # per-stage split of the best run, with bytes-on-the-wire
+                # attribution for the upload stage (VERDICT r2 item 3)
+                split = {}
+                for name, secs, fields in stages:
+                    d = split.setdefault(name, {"seconds": 0.0})
+                    d["seconds"] = round(d["seconds"] + secs, 3)
+                    for key in ("bytes_up", "wire"):
+                        if key in fields:
+                            d[key] = fields[key]
+                emit(f"stage_split_{h}p", sum(
+                    v["seconds"] for v in split.values()), vs=0.0,
+                    unit="seconds", stages=split)
                 done = True
                 break
             except Exception as e:  # worker crash / OOM: retry or shrink
@@ -219,6 +266,15 @@ def main():
             if attempt == 0 and _tpu_recovered(e):
                 continue
             break
+    try:
+        # interactive envelope (BASELINE config 5): GUI preview latencies
+        mask_s, infill_s = bench_previews()
+        emit("mask_preview_latency_720p", mask_s, vs=0.0, unit="seconds")
+        emit("infill_preview_latency_720p", infill_s, vs=0.0,
+             unit="seconds")
+    except Exception as e:
+        print(f"[bench] preview leg failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     try:
         up, down = probe_link()
         emit("host_link_MBps", down, vs=0.0, unit="MB/s", up_MBps=up)

@@ -142,3 +142,79 @@ class TestComposite:
             jnp.asarray(inp), jnp.asarray(orig), jnp.asarray(m), 3.0,
             keep_unmasked_original=False))
         np.testing.assert_array_equal(ours, inp)
+
+
+class TestYUV420:
+    """I420 wire format (ops/colorspace.py): host cv2 encode -> device
+    BT.601 inverse. Error budget = chroma subsample + u8 quantization."""
+
+    def _smooth(self, rng, n=2, h=48, w=64):
+        # smooth gradients: representative of video content (chroma
+        # subsampling error concentrates on sharp chroma edges)
+        yy, xx = np.mgrid[:h, :w].astype(np.float32)
+        fr = np.stack([
+            np.stack([50 + yy * 2 + i * 10, 200 - xx, 80 + yy + xx],
+                     axis=-1) for i in range(n)])
+        return np.clip(fr, 0, 255).astype(np.uint8)
+
+    def test_roundtrip_matches_cv2_inverse(self, rng):
+        """Our device decode == cv2's own I420->RGB to ~1/255."""
+        from videovanish_tpu.ops.colorspace import (
+            rgb_to_yuv420_host, yuv420_to_rgb01)
+        fr = self._smooth(rng)
+        yuv = rgb_to_yuv420_host(fr)
+        ours = np.asarray(yuv420_to_rgb01(jnp.asarray(yuv))) * 255.0
+        ref = np.stack([cv2.cvtColor(yuv[i], cv2.COLOR_YUV2RGB_I420)
+                        for i in range(len(yuv))]).astype(np.float32)
+        assert np.abs(ours - ref).max() <= 2.0
+
+    def test_roundtrip_error_bounded(self, rng):
+        from videovanish_tpu.ops.colorspace import (
+            rgb_to_yuv420_host, yuv420_to_rgb01)
+        fr = self._smooth(rng)
+        back = np.asarray(yuv420_to_rgb01(
+            jnp.asarray(rgb_to_yuv420_host(fr)))) * 255.0
+        err = np.abs(back - fr.astype(np.float32))
+        assert err.max() <= 6.0 and err.mean() <= 1.5
+
+    def test_numpy_fallback_agrees_with_cv2(self, rng):
+        """The no-cv2 fallback implements the same transform."""
+        import videovanish_tpu.ops.colorspace as cs
+        fr = self._smooth(rng)
+        a = cs.rgb_to_yuv420_host(fr).astype(np.int16)
+
+        real_import = __builtins__["__import__"] if isinstance(
+            __builtins__, dict) else __builtins__.__import__
+
+        def no_cv2(name, *args, **kw):
+            if name == "cv2":
+                raise ImportError("forced")
+            return real_import(name, *args, **kw)
+
+        import builtins
+        orig = builtins.__import__
+        builtins.__import__ = no_cv2
+        try:
+            b = cs.rgb_to_yuv420_host(fr).astype(np.int16)
+        finally:
+            builtins.__import__ = orig
+        assert np.abs(a - b).max() <= 2
+
+    def test_model_forward_yuv_close_to_rgb(self, rng, monkeypatch):
+        """End-to-end: tiny DiffuEraser output with VV_UPLOAD=yuv420 is
+        visually identical to the exact RGB upload path."""
+        from videovanish_tpu.config import tiny_config
+        from videovanish_tpu.models.diffueraser import DiffuEraser
+        from videovanish_tpu.utils.quality import psnr
+        cfg = tiny_config().diffueraser
+        m = DiffuEraser(config=cfg, ckpt="2-Step")
+        fr = self._smooth(rng, n=6, h=64, w=64)
+        masks = np.zeros((6, 64, 64), np.uint8)
+        masks[:, 20:40, 20:44] = 1
+        frames = [fr[i] for i in range(6)]
+        ms = [masks[i] for i in range(6)]
+        monkeypatch.setenv("VV_UPLOAD", "rgb")
+        ref = np.stack(m.forward(frames, ms, max_img_size=64))
+        monkeypatch.setenv("VV_UPLOAD", "yuv420")
+        out = np.stack(m.forward(frames, ms, max_img_size=64))
+        assert psnr(out, ref) > 35.0

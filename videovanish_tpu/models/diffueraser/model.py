@@ -257,6 +257,27 @@ class DiffuEraser:
         def encode_u8(params, x_u8):
             return encode(params, x_u8.astype(jnp.float32) / 255.0)
 
+        def encode_masked_yuv(params, yuv_u8, m_bits):
+            """I420 frame chunk + bit-packed mask chunk -> (masked
+            latents, latent-res mask). Same contract as encode_masked_u8
+            but the frames arrive as 4:2:0 YUV — 2x fewer bytes over the
+            serial host link (ops/colorspace.py)."""
+            from videovanish_tpu.ops.colorspace import yuv420_to_rgb01
+            x = yuv420_to_rgb01(yuv_u8)
+            w = x.shape[2]
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (m_bits[..., None] >> shifts) & jnp.uint8(1)
+            m_u8 = bits.reshape(m_bits.shape[0], m_bits.shape[1], w)
+            m_f = m_u8.astype(jnp.float32)[..., None]
+            lat = encode(params, x * (1.0 - m_f))
+            h8c, w8c = x.shape[1] // 8, w // 8
+            m_lat = resize_nearest_2d(m_u8, h8c, w8c)
+            return lat, (m_lat > 0).astype(jnp.float32)[..., None]
+
+        def encode_yuv(params, yuv_u8):
+            from videovanish_tpu.ops.colorspace import yuv420_to_rgb01
+            return encode(params, yuv420_to_rgb01(yuv_u8))
+
         def decode(params, z):
             """Latents -> RGB uint8 (uint8 on device: 4x fewer bytes over
             the host link than f32)."""
@@ -323,9 +344,13 @@ class DiffuEraser:
         denoise_window = jax.jit(
             denoise_window, static_argnames=("guidance",))
         decode = jax.jit(decode)
+        encode_masked_yuv = jax.jit(encode_masked_yuv)
+        encode_yuv = jax.jit(encode_yuv)
+        encode_masked_u8 = jax.jit(encode_masked_u8)
+        encode_u8 = jax.jit(encode_u8)
 
         fns = (encode, encode_masked_u8, encode_u8,
-               denoise_window, decode)
+               denoise_window, decode, encode_masked_yuv, encode_yuv)
         self._jit_cache[t_frames] = fns
         return fns
 
@@ -433,8 +458,18 @@ class DiffuEraser:
                 roi = (y0, y1, x0, x1)
 
         clip_len = min(cfg.clip_length, T)
-        (encode, encode_masked_u8, encode_u8, denoise_window, decode) = \
-            self._get_jitted(clip_len)
+        (encode, encode_masked_u8, encode_u8, denoise_window, decode,
+         encode_masked_yuv, encode_yuv) = self._get_jitted(clip_len)
+
+        # upload wire format: I420 halves the bytes/frame crossing the
+        # serial host link (ops/colorspace.py); chroma subsampling only
+        # touches the model's INPUT — unmasked output pixels come from
+        # the host-resident RGB originals. VV_UPLOAD=rgb opts out (and
+        # CPU/virtual-device runs default to the exact RGB path).
+        upload = os.environ.get("VV_UPLOAD", "auto")
+        if upload == "auto":
+            upload = "yuv420" if jax.default_backend() == "tpu" else "rgb"
+        use_yuv = upload == "yuv420" and h % 2 == 0 and w % 2 == 0
 
         prog(5, "VAE-encoding frames")
         # upload + encode in uint8 sub-batches (VAE activation memory
@@ -458,18 +493,29 @@ class DiffuEraser:
         # bit-pack masks once: 8x fewer bytes over the serial host link
         mk_bits = np.packbits(mk_p > 0, axis=-1)
 
+        if use_yuv:
+            from videovanish_tpu.ops.colorspace import rgb_to_yuv420_host
+            fr_wire = rgb_to_yuv420_host(fr_p)
+            pf_wire = None if pf_p is None else rgb_to_yuv420_host(pf_p)
+            enc_masked = encode_masked_yuv
+            enc_prior = encode_yuv
+        else:
+            fr_wire, pf_wire = fr_p, pf_p
+            enc_masked = encode_masked_u8
+            enc_prior = encode_u8
+
         def ensure_encoded(upto: int):
             """Encode chunks until frames [0, upto) have latents."""
             while len(lat_c) * chunk < upto:
                 i = len(lat_c) * chunk
-                lat, mlat = encode_masked_u8(
-                    self.params, jnp.asarray(fr_p[i:i + chunk]),
+                lat, mlat = enc_masked(
+                    self.params, jnp.asarray(fr_wire[i:i + chunk]),
                     jnp.asarray(mk_bits[i:i + chunk]))
                 lat_c.append(lat)
                 mlat_c.append(mlat)
-                if pf_p is not None:
-                    prior_c.append(encode_u8(
-                        self.params, jnp.asarray(pf_p[i:i + chunk])))
+                if pf_wire is not None:
+                    prior_c.append(enc_prior(
+                        self.params, jnp.asarray(pf_wire[i:i + chunk])))
                 elif pf01_p is not None:
                     prior_c.append(encode(
                         self.params, pf01_p[i:i + chunk]))
@@ -565,7 +611,10 @@ class DiffuEraser:
         # encode everything upfront: through this host link, transfers do
         # not overlap device compute (measured), so lazy per-window
         # encoding buys nothing and adds per-window concat work
-        with stage_timer("dn.upload_encode", frames=T):
+        bytes_up = int(fr_wire[:T].nbytes + mk_bits[:T].nbytes
+                       + (pf_wire[:T].nbytes if pf_wire is not None else 0))
+        with stage_timer("dn.upload_encode", frames=T, wire=upload,
+                         bytes_up=bytes_up):
             ensure_encoded(T)
             masked_lat = jnp.concatenate(lat_c, 0)
             m_lat = jnp.concatenate(mlat_c, 0)

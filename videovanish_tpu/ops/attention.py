@@ -47,18 +47,20 @@ def _xla_attention(q, k, v, scale, is_causal=False, key_mask=None):
     return out.astype(out_dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
-                  acc_ref, m_ref, *, n_sub=1):
-    """Online-softmax block. The wrapper pre-folds scale*log2(e) into q
-    and carries KV-padding masking through the MXU: q's "flag" head lane
-    is 1.0 and k's is 0.0 for real rows / -1e30 for pad rows, so padded
-    columns arrive at -1e30 with zero VPU masking cost. Softmax runs in
-    base 2 (exp2). The softmax DENOMINATOR also rides the MXU: v's last
-    lane is all-ones, so pv's last lane is sum(p) and the l recurrence
-    is just part of the acc update — no (bq, bk) VPU reduction. With
-    n_sub=2 the KV block is processed as two halves whose QK dots are
-    both issued before either softmax, so the second dot's MXU time
-    hides under the first's VPU softmax (measured ~4%)."""
+def _flash_kernel_inline(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, *,
+                         n_sub, sk, scale_l2e, block_k):
+    """Online-softmax block with ALL padding glue in VMEM.
+
+    The wrapper passes q/k/v untouched (no host-side pad / flag-lane
+    scatter / layout copy — profiled at ~20% of kernel time at 720p
+    spatial-attention shapes). Per tile, in VMEM: q is scaled by
+    scale*log2(e); ragged KV rows (the last block when block_k does not
+    divide Sk) are zeroed via select — NOT multiply: out-of-bounds reads
+    are undefined and may be NaN, and NaN*0 is NaN — and a flag lane is
+    appended (q: 1, k: 0 real / -1e30 pad, v: 1) so KV masking and the
+    softmax denominator both ride the MXU exactly like the padded-path
+    kernel. Ragged q rows produce garbage only in their own (dropped)
+    output rows."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -67,32 +69,52 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
 
-    q = q_ref[0]  # (bq, D)
-    k = k_ref[0]  # (bk, D)
+    q = q_ref[0]                                       # (bq, D)
+    qf = jnp.concatenate(
+        [(q.astype(jnp.float32) * scale_l2e).astype(q.dtype),
+         jnp.ones((q.shape[0], 1), q.dtype)], axis=-1)
+    k = k_ref[0]
     v = v_ref[0]
-    bs = k.shape[0] // n_sub
+    bk = k.shape[0]
+    if sk % block_k:
+        # statically-ragged KV edge: zero out-of-bounds rows (undefined
+        # reads may be NaN — select, never multiply) and set their flag
+        # to -inf. All mask algebra stays in f32: Mosaic cannot relayout
+        # an (8,128)-tiled i1 mask onto (16,128)-tiled bf16 operands.
+        col = jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0) + j * block_k
+        valid = col < sk
+        kf = jnp.concatenate(
+            [jnp.where(valid, k.astype(jnp.float32), 0.0),
+             jnp.where(valid, 0.0, _NEG_INF)], axis=-1).astype(k.dtype)
+        vf = jnp.concatenate(
+            [jnp.where(valid, v.astype(jnp.float32), 0.0),
+             jnp.where(valid, 1.0, 0.0)], axis=-1).astype(v.dtype)
+    else:
+        kf = jnp.concatenate([k, jnp.zeros((bk, 1), k.dtype)], axis=-1)
+        vf = jnp.concatenate([v, jnp.ones((bk, 1), v.dtype)], axis=-1)
+    bs = bk // n_sub
     subs = [jax.lax.dot_general(
-        q, k[i * bs:(i + 1) * bs], (((1,), (1,)), ((), ())),
+        qf, kf[i * bs:(i + 1) * bs], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) for i in range(n_sub)]
 
     for i, s in enumerate(subs):
-        m_prev = m_ref[:, :1]                       # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)            # (bq, 1)
-        p = jnp.exp2(s - m_new)                     # (bq, bs)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v[i * bs:(i + 1) * bs],
+            p.astype(v.dtype), vf[i * bs:(i + 1) * bs],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (bq, Dv); last lane = l
+            preferred_element_type=jnp.float32)   # (bq, D+1); last = l
         acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(j == nk - 1)
     def _finish():
         l = acc_ref[:, -1:]
-        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> 0 output
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:, :o_ref.shape[-1]] / l).astype(o_ref.dtype)
 
 
 def _flash_kernel_iota(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
@@ -143,28 +165,36 @@ def _round_up(x, m):
 _LOG2E = 1.4426950408889634
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "block_k",
+                                    "interpret"))
+def _flash_attention(q, k, v, scale, block_q=None, block_k=None,
+                     interpret=False):
     """Pallas flash attention. q: (B,H,Sq,D), k/v: (B,H,Sk,D).
 
-    scale*log2(e) is folded into q (softmax runs in base 2), so the hot
-    tile does one exp2 and no scale multiply. KV-padding masking rides
-    the MXU when the head dim has a padded lane to spare (SD1.5 head
-    dims 40/80/160 all do): q's last lane is 1.0 and k's last lane is
-    0 for real rows / -1e30 for pad rows, so pad columns score -1e30
-    with no per-block VPU work.
+    Head dims with a spare lane inside the 128-wide tile (SD1.5's
+    40/80/160 all qualify) run the INLINE kernel: q/k/v stream into the
+    grid untouched (the (B*H, S, D) view is a bitcast) and every piece
+    of glue — the scale*log2(e) fold, the KV flag lane that masks
+    padding and carries the softmax denominator through the MXU, the
+    ragged-edge zeroing — happens in VMEM. The previous padded path
+    materialized three padded+flagged copies in HBM first; at 720p
+    spatial-attention shapes that glue profiled at ~20% of the kernel
+    itself. Lane-aligned D (the VAE's single 512-wide head) keeps the
+    padded iota-compare kernel: appending a flag lane there would add a
+    whole 128-lane tile to the MXU contraction.
 
     Default block sizes scale inversely with the padded head dim so the
     per-program VMEM footprint stays under the ~16MB scoped limit: 1024
-    blocks for D<=128 (SD1.5 spatial attention — large blocks amortize
-    grid overhead, measured 2x over 256), shrinking for wide heads
-    (VAE mid-block attention has a single 512-dim head)."""
+    blocks for D<=127 (SD1.5 spatial attention — large blocks amortize
+    grid overhead, measured 2x over 256), shrinking for wide heads."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    # Lane padding happens inside Mosaic (VMEM tiles are 128-wide
-    # regardless); padding D on the host would only add HBM traffic.
-    # Dl = the internal lane width, used for VMEM budgeting.
-    Dl = _round_up(max(D, 128), 128)
+    # Dl = the internal lane width (incl. flag lane), for VMEM budgeting.
+    Dl = _round_up(max(D + 1, 128), 128)
+    use_flag = _round_up(D + 1, 128) == _round_up(max(D, 128), 128)
+    if not use_flag:
+        Dl = _round_up(max(D, 128), 128)
     if block_q is None:
         block_q = max(256, min(1024, (128 * 1024) // Dl))
     if block_k is None:
@@ -173,75 +203,67 @@ def _flash_attention(q, k, v, scale, block_q=None, block_k=None):
         block_k = min(2 * block_q, (256 * 1024) // Dl)
     bq = min(block_q, _round_up(Sq, 8))
     bk = min(block_k, _round_up(Sk, 128))
-    Sqp = _round_up(Sq, bq)
-    Skp = _round_up(Sk, bk)
 
-    # One extra head lane (free inside the 128-wide tile whenever D is
-    # not a multiple of 128 — SD1.5's 40/80/160 all qualify) carries TWO
-    # jobs on the MXU: q=1 x k∈{0,-inf} masks KV padding in the scores,
-    # and v=1 makes pv's last lane the softmax denominator, so the
-    # kernel does no (bq, bk) VPU reduction at all. Lane-aligned D falls
-    # back to the iota-compare kernel with an explicit l accumulator.
-    use_flag = _round_up(D + 1, 128) == Dl
-    Dp = D + 1 if use_flag else D
-
-    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
-    qp = jnp.pad(qs, ((0, 0), (0, 0), (0, Sqp - Sq), (0, Dp - D)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, Dp - D)))
-
-    if use_flag:
-        qp = qp.at[..., -1].set(jnp.asarray(1.0, qp.dtype))
-        kcol = jnp.where(jnp.arange(Skp) < Sk, 0.0, _NEG_INF)
-        kp = kp.at[..., -1].set(kcol.astype(kp.dtype))
-        vp = vp.at[..., -1].set(jnp.asarray(1.0, vp.dtype))
-
-    qp = qp.reshape(B * H, Sqp, Dp)
-    kp = kp.reshape(B * H, Skp, Dp)
-    vp = vp.reshape(B * H, Skp, Dp)
-
-    grid = (B * H, Sqp // bq, Skp // bk)
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
-    out_shape = jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype)
-    q_spec = pl.BlockSpec((1, bq, Dp), lambda b, i, j, *_: (b, i, 0))
-    kv_spec = pl.BlockSpec((1, bk, Dp), lambda b, i, j, *_: (b, j, 0))
-
     if use_flag:
+        q3 = q.reshape(B * H, Sq, D)
+        k3 = k.reshape(B * H, Sk, D)
+        v3 = v.reshape(B * H, Sk, D)
+        grid = (B * H, pl.cdiv(Sq, bq), pl.cdiv(Sk, bk))
+        q_spec = pl.BlockSpec((1, bq, D), lambda b, i, j, *_: (b, i, 0))
+        kv_spec = pl.BlockSpec((1, bk, D), lambda b, i, j, *_: (b, j, 0))
         out = pl.pallas_call(
-            functools.partial(_flash_kernel,
-                              n_sub=2 if bk % 256 == 0 else 1),
+            functools.partial(_flash_kernel_inline,
+                              n_sub=2 if bk % 256 == 0 else 1,
+                              sk=Sk, scale_l2e=float(scale) * _LOG2E,
+                              block_k=bk),
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec],
             out_specs=q_spec,
             scratch_shapes=[
-                pltpu.VMEM((bq, Dp), jnp.float32),   # acc (+l lane)
-                pltpu.VMEM((bq, 128), jnp.float32),  # m
+                pltpu.VMEM((bq, D + 1), jnp.float32),  # acc (+l lane)
+                pltpu.VMEM((bq, 128), jnp.float32),    # m
             ],
-            out_shape=out_shape,
-            compiler_params=compiler_params,
-        )(qp, kp, vp)
-    else:
-        # lane-aligned D: iota-compare masking + explicit l accumulator
-        # (kvlen = Sk is a no-op compare when there is no KV padding)
-        out = pl.pallas_call(
-            functools.partial(_flash_kernel_iota, block_k=bk),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=[q_spec, kv_spec, kv_spec],
-                out_specs=q_spec,
-                scratch_shapes=[
-                    pltpu.VMEM((bq, Dp), jnp.float32),
-                    pltpu.VMEM((bq, 128), jnp.float32),
-                    pltpu.VMEM((bq, 128), jnp.float32),
-                ],
-            ),
-            out_shape=out_shape,
-            compiler_params=compiler_params,
-        )(jnp.array([Sk], dtype=jnp.int32), qp, kp, vp)
-    return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
+            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            compiler_params=None if interpret else compiler_params,
+            interpret=interpret,
+        )(q3, k3, v3)
+        return out.reshape(B, H, Sq, D)
+
+    # lane-aligned D: padded path + iota-compare masking with an
+    # explicit l accumulator (kvlen = Sk is a no-op compare when there
+    # is no KV padding)
+    Sqp = _round_up(Sq, bq)
+    Skp = _round_up(Sk, bk)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    qp = jnp.pad(qs, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skp - Sk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skp - Sk), (0, 0)))
+    qp = qp.reshape(B * H, Sqp, D)
+    kp = kp.reshape(B * H, Skp, D)
+    vp = vp.reshape(B * H, Skp, D)
+    grid = (B * H, Sqp // bq, Skp // bk)
+    q_spec = pl.BlockSpec((1, bq, D), lambda b, i, j, *_: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, bk, D), lambda b, i, j, *_: (b, j, 0))
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_iota, block_k=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            scratch_shapes=[
+                pltpu.VMEM((bq, D), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, D), q.dtype),
+        compiler_params=compiler_params,
+    )(jnp.array([Sk], dtype=jnp.int32), qp, kp, vp)
+    return out.reshape(B, H, Sqp, D)[:, :, :Sq, :]
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, s_q, s_k):
@@ -499,7 +521,13 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
         scale = q.shape[-1] ** -0.5
     if key_mask is None and (backend == "pallas" or (
             backend == "auto" and _use_pallas() and not is_causal
-            and k.shape[2] >= 512)):
+            # flash pays off (a) whenever KV is long — XLA would
+            # materialize the (B,H,Sq,Sk) scores in HBM — and (b) for
+            # long-QUERY cross-attention (UNet attn2: Sq up to 8160,
+            # Sk=77): the scores are Sq-tall there too, and the inline
+            # kernel's single ragged KV block keeps them in VMEM
+            and (k.shape[2] >= 384
+                 or (q.shape[2] >= 512 and k.shape[2] >= 64)))):
         return _flash_attention(q, k, v, float(scale))
     # Packed small-sequence path: only where measured to win — S in
     # [17, 64] (J in [2, 7]) with a large batch*heads axis. Below S=17
