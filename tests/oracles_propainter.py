@@ -306,10 +306,19 @@ class SecondOrderDeformableAlignment(nn.Module):
 # ---------------------------------------------------------------------------
 # RecurrentFlowCompleteNet
 # ---------------------------------------------------------------------------
-def deconv(in_ch, out_ch, kernel_size=3, padding=0):
-    return nn.Sequential(
-        nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True),
-        nn.Conv2d(in_ch, out_ch, kernel_size, stride=1, padding=padding))
+class deconv(nn.Module):
+    """Published naming: a module holding `self.conv` (state-dict key
+    `<scope>.conv.weight`), 2x bilinear upsample then conv."""
+
+    def __init__(self, in_ch, out_ch, kernel_size=3, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, kernel_size, stride=1,
+                              padding=padding)
+
+    def forward(self, x):
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        return self.conv(x)
 
 
 class P3DBlock(nn.Module):

@@ -83,7 +83,7 @@ def _leaf_transform(torch_key: str, arr: np.ndarray):
     if torch_key.endswith(".bias") or torch_key == "bias":
         return "bias", t_identity
     if not (torch_key.endswith(".weight") or torch_key == "weight"):
-        return torch_key.rsplit(".", 1)[-1], t_identity
+        return None, t_identity  # keep the (possibly rule-renamed) leaf
     if arr.ndim == 5:
         return "kernel", t_conv3d
     if arr.ndim == 4:
@@ -126,7 +126,8 @@ def convert_state_dict(state: dict, rules: list[tuple[str, str]],
                 break
         else:
             leaf, transform = _leaf_transform(key, arr)
-            parts[-1] = leaf
+            if leaf is not None:
+                parts[-1] = leaf
             set_in(out, parts, transform(arr))
     return out
 
@@ -141,8 +142,18 @@ def convert_state_dict(state: dict, rules: list[tuple[str, str]],
 VAE_RULES: list[tuple[str, str]] = [
     (r"mid_block\.attentions\.0\.to_out\.0", "mid_block.attentions.0.attn.to_out_0"),
     (r"mid_block\.attentions\.0\.to_(q|k|v)", r"mid_block.attentions.0.attn.to_\1"),
+    # pre-0.18-diffusers attention names, as shipped in the published
+    # sd-vae-ft-mse file (uploaded 2022; diffusers remaps them on load)
+    (r"mid_block\.attentions\.0\.query", "mid_block.attentions.0.attn.to_q"),
+    (r"mid_block\.attentions\.0\.key", "mid_block.attentions.0.attn.to_k"),
+    (r"mid_block\.attentions\.0\.value", "mid_block.attentions.0.attn.to_v"),
+    (r"mid_block\.attentions\.0\.proj_attn",
+     "mid_block.attentions.0.attn.to_out_0"),
     (r"mid_block\.attentions\.0\.group_norm", "mid_block.attentions.0.group_norm"),
-    (r"downsamplers\.0\.conv", "downsamplers.0.conv"),
+    # vae.py folds the whole block scope into ONE module name
+    # ("up_blocks_0_resnets_1"), same as the UNet
+    (r"(down_blocks|up_blocks)\.(\d+)\.(resnets|downsamplers|upsamplers)"
+     r"\.(\d+)\.", r"\1_\2_\3_\4."),
 ]
 
 # diffusers UNet2DConditionModel / BrushNetModel -> models/diffueraser
@@ -152,6 +163,8 @@ VAE_RULES: list[tuple[str, str]] = [
 UNET_RULES: list[tuple[str, str]] = [
     # attention out proj list index
     (r"\.to_out\.0\.", ".to_out_0."),
+    # BrushNetModel names its 9-channel input conv `conv_in_condition`
+    (r"^conv_in_condition\.", "conv_in."),
     (r"^(down_blocks|up_blocks)\.(\d+)\.(resnets|attentions|motion_modules"
      r"|downsamplers|upsamplers)\.(\d+)\.", r"\1_\2_\3_\4."),
     (r"^mid_block\.(resnets|attentions|motion_modules)\.(\d+)\.",
@@ -236,6 +249,10 @@ SAM2_RULES: list[tuple[str, str]] = [
     (r"\.dwconv\.", ".depthwise_conv."),
     (r"\.pwconv([12])\.", r".pointwise_conv\1."),
     (r"memory_fuser_layers_(\d+)\.norm\.", r"memory_fuser_layers_\1.layer_norm."),
+    # fb CXBlock layer-scale parameter is `gamma`; ours is `scale`
+    (r"memory_fuser_layers_(\d+)\.gamma$", r"memory_fuser_layers_\1.scale"),
+    # fb FpnNeck wraps each 1x1 in a submodule: neck.convs.N.conv.weight
+    (r"^neck\.convs\.(\d+)\.conv\.", r"neck.convs.\1."),
 ]
 
 # Hiera absolute position embeddings are stored NCHW in both the fb and
@@ -349,7 +366,8 @@ FLOWCOMP_RULES: list[tuple[str, str]] = [
     (r"^(encoder[12]|mid_dilation)\.(\d)\.", r"\1_\2."),
     (r"\.conv([12])\.0\.", r".conv\1_0."),
     (r"^(decoder[12]|upsample)\.0\.", r"\1_0."),
-    (r"^(decoder[12]|upsample)\.2\.1\.", r"\1_2.conv."),
+    # deconv is a module holding .conv (2x upsample + conv)
+    (r"^(decoder[12]|upsample)\.2\.conv\.", r"\1_2.conv."),
     (r"^feat_prop_module\.deform_align\.(backward_|forward_)\."
      r"conv_offset\.(\d)\.",
      r"feat_prop_module.step_\1.deform_align.conv_offset_\2."),
@@ -363,9 +381,9 @@ FLOWCOMP_RULES: list[tuple[str, str]] = [
 # ProPainter.pth (InpaintGenerator) -> models/propainter/inpaint_generator.py
 PROPAINTER_RULES: list[tuple[str, str]] = [
     (r"^module\.", ""),
-    (r"^decoder\.0\.1\.", "decoder_0.conv."),
+    (r"^decoder\.0\.conv\.", "decoder_0.conv."),
     (r"^decoder\.2\.", "decoder_2."),
-    (r"^decoder\.4\.1\.", "decoder_4.conv."),
+    (r"^decoder\.4\.conv\.", "decoder_4.conv."),
     (r"^decoder\.6\.", "decoder_6."),
     (r"\.deform_align\.(backward_1|forward_1)\.conv_offset\.(\d)\.",
      r".step_\1.deform_align.conv_offset_\2."),

@@ -11,6 +11,11 @@ self-attention — measured 2x per transformer at 720p latents), and
 emits per-stage features through zero-initialized 1x1 convs that the
 main UNet adds at its skip/mid/up stages.
 
+The published DiffuEraser brushnet checkpoint is a frame-wise (image)
+BrushNetModel — temporal motion modules live in the main UNet only — so
+use_temporal defaults to False; the flag stays for experiments (the
+MotionModule architecture is shared with the UNet).
+
 Outputs align with UNetCondition's injection points:
   down: 13 tensors (conv_in + 12 down residuals)
   mid:  1 tensor
@@ -27,7 +32,7 @@ from videovanish_tpu.models.diffueraser.blocks import (
     ResnetBlock2D, Transformer2D, Downsample2D, Upsample2D,
     TimestepEmbedding, timestep_embedding,
 )
-from videovanish_tpu.models.diffueraser.temporal import TemporalAttentionBlock
+from videovanish_tpu.models.diffueraser.temporal import MotionModule
 
 
 class ZeroConv(nn.Module):
@@ -47,7 +52,7 @@ class BrushNetModel(nn.Module):
     block_out_channels: Sequence[int] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     num_attention_heads: int = 8
-    use_temporal: bool = True
+    use_temporal: bool = False
     ring_mesh: object = None  # mesh for sequence-parallel temporal attention
     dtype: jnp.dtype = jnp.float32
 
@@ -82,10 +87,10 @@ class BrushNetModel(nn.Module):
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
                                       name=f"{pre}_attentions_{j}")(
                         h, encoder_hidden_states)
-                    if temporal:
-                        h = TemporalAttentionBlock(
-                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
-                            name=f"{pre}_motion_modules_{j}")(h, t_frames)
+                if temporal:
+                    h = MotionModule(
+                        heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
+                        name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 down_feats.append(ZeroConv(c, dtype=self.dtype,
                                            name=f"zero_down_{zi}")(h))
                 zi += 1
@@ -104,9 +109,9 @@ class BrushNetModel(nn.Module):
                           name="mid_block_attentions_0")(
             h, encoder_hidden_states)
         if temporal:
-            h = TemporalAttentionBlock(heads, ring_mesh=self.ring_mesh,
-                                       dtype=self.dtype,
-                                       name="mid_block_motion_modules_0")(
+            h = MotionModule(heads, ring_mesh=self.ring_mesh,
+                             dtype=self.dtype,
+                             name="mid_block_motion_modules_0")(
                 h, t_frames)
         h = ResnetBlock2D(ch[-1], dtype=self.dtype,
                           name="mid_block_resnets_1")(h, temb)
@@ -127,10 +132,10 @@ class BrushNetModel(nn.Module):
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
                                       name=f"{pre}_attentions_{j}")(
                         h, encoder_hidden_states)
-                    if temporal:
-                        h = TemporalAttentionBlock(
-                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
-                            name=f"{pre}_motion_modules_{j}")(h, t_frames)
+                if temporal:
+                    h = MotionModule(
+                        heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
+                        name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 up_feats.append(ZeroConv(c, dtype=self.dtype,
                                          name=f"zero_up_{zi}")(h))
                 zi += 1

@@ -5,9 +5,12 @@ Public SD1.5 UNet2DConditionModel topology (reference consumes it via
 diffusers, diffuerase.py:39-45; internals [external] per SURVEY.md §2c):
 conv_in -> 3x CrossAttnDown + Down -> mid -> Up + 3x CrossAttnUp ->
 conv_out, 1280-d time embedding, 768-d CLIP cross-attention. This
-implementation adds (a) a TemporalAttentionBlock after every spatial
-transformer when `t_frames > 1` and (b) additive BrushNet features at
-each skip/mid/up stage (BrushNet-style dual-branch conditioning).
+implementation adds (a) an AnimateDiff-style MotionModule after every
+resnet(+attention) in ALL down/up blocks and the mid block when
+`t_frames > 1` — the diffusers UNetMotionModel placement, matching the
+published `unet_main` checkpoint 1:1 (21 motion modules for SD1.5) —
+and (b) additive BrushNet features at each skip/mid/up stage
+(BrushNet-style dual-branch per-layer injection).
 
 Tensor-parallel sharding rules for these params live in
 parallel/sharding.py (heads over "model"); frames ride the batch axis
@@ -24,7 +27,7 @@ from videovanish_tpu.models.diffueraser.blocks import (
     GroupNorm, ResnetBlock2D, Transformer2D, Downsample2D, Upsample2D,
     TimestepEmbedding, timestep_embedding,
 )
-from videovanish_tpu.models.diffueraser.temporal import TemporalAttentionBlock
+from videovanish_tpu.models.diffueraser.temporal import MotionModule
 
 
 class UNetCondition(nn.Module):
@@ -83,10 +86,12 @@ class UNetCondition(nn.Module):
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
                                       name=f"{pre}_attentions_{j}")(
                         h, encoder_hidden_states)
-                    if temporal:
-                        h = TemporalAttentionBlock(
-                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
-                            name=f"{pre}_motion_modules_{j}")(h, t_frames)
+                # UNetMotionModel places a motion module after EVERY
+                # resnet — including the attention-free DownBlockMotion
+                if temporal:
+                    h = MotionModule(
+                        heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
+                        name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 h = maybe_add(h, bd.pop(0) if bd else None)
                 down_res.append(h)
             if i < n_blocks - 1:
@@ -101,9 +106,9 @@ class UNetCondition(nn.Module):
         h = Transformer2D(heads, ch[-1] // heads, dtype=self.dtype,
                           name="mid_block_attentions_0")(h, encoder_hidden_states)
         if temporal:
-            h = TemporalAttentionBlock(heads, ring_mesh=self.ring_mesh,
-                                       dtype=self.dtype,
-                                       name="mid_block_motion_modules_0")(
+            h = MotionModule(heads, ring_mesh=self.ring_mesh,
+                             dtype=self.dtype,
+                             name="mid_block_motion_modules_0")(
                 h, t_frames)
         h = ResnetBlock2D(ch[-1], dtype=self.dtype,
                           name="mid_block_resnets_1")(h, temb)
@@ -123,10 +128,10 @@ class UNetCondition(nn.Module):
                     h = Transformer2D(heads, c // heads, dtype=self.dtype,
                                       name=f"{pre}_attentions_{j}")(
                         h, encoder_hidden_states)
-                    if temporal:
-                        h = TemporalAttentionBlock(
-                            heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
-                            name=f"{pre}_motion_modules_{j}")(h, t_frames)
+                if temporal:  # every resnet, incl. plain UpBlockMotion
+                    h = MotionModule(
+                        heads, ring_mesh=self.ring_mesh, dtype=self.dtype,
+                        name=f"{pre}_motion_modules_{j}")(h, t_frames)
                 h = maybe_add(h, bu.pop(0) if bu else None)
             if i < n_blocks - 1:
                 # target the next skip's exact (odd-safe) resolution
