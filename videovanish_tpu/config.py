@@ -59,6 +59,11 @@ class Sam2Config:
     # mask decoder
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
+    # host->device frame wire format during propagation: "yuv420" ships
+    # 2x fewer bytes over the serial link (2x2 chroma subsampling,
+    # imperceptible for masking and the masks get dilated downstream);
+    # "rgb" is bit-exact vs the official input path (parity tests use it)
+    wire: str = "yuv420"
 
 
 @dataclass(frozen=True)

@@ -19,6 +19,8 @@ TPU-native streaming design (internals [external] per SURVEY.md §2c):
 """
 from __future__ import annotations
 
+import functools
+import time
 from typing import Optional
 
 import jax
@@ -32,10 +34,17 @@ from videovanish_tpu.models.sam2.hiera import Hiera
 from videovanish_tpu.models.sam2.memory import MemoryAttention, MemoryEncoder
 from videovanish_tpu.models.sam2.neck import FpnNeck, sine_pos_embed_2d
 from videovanish_tpu.models.sam2.prompt import MAX_POINTS, PromptEncoder
+from videovanish_tpu.ops.colorspace import rgb_to_yuv420_host
 from videovanish_tpu.ops.resize import resize_bilinear
+from videovanish_tpu.utils.observability import record_stage
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+# Frames batch-encoded per upload during propagation: amortizes the
+# ~1-2 ms per-dispatch tunnel overhead and keeps the backbone MXU-dense
+# without holding more than CH frames of Hiera activations at once.
+ENCODE_CHUNK = 8
 
 
 @jax.jit
@@ -270,12 +279,10 @@ class Sam2VideoPredictor:
             sine_pos_embed_2d(s16, s16, cfg.mem_dim)).reshape(
                 self.tokens16, cfg.mem_dim)
 
-        @jax.jit
-        def encode_image(params, img_u8):
-            """img_u8: (1, H0, W0, 3) uint8 -> (s4, s8, s16) @ d channels.
-            Resize to the model square + imagenet normalization run on
-            device so only uint8 crosses the host link."""
-            img01 = img_u8.astype(jnp.float32) / 255.0
+        def _encode_from01(params, img01):
+            """(N, H0, W0, 3) f32 [0,1] -> (s4, s8, s16) @ d channels,
+            batched over frames (N > 1 amortizes dispatch overhead and
+            keeps the conv backbone MXU-dense)."""
             if img01.shape[1:3] != (cfg.image_size, cfg.image_size):
                 img01 = resize_bilinear(img01, cfg.image_size,
                                         cfg.image_size)
@@ -285,6 +292,20 @@ class Sam2VideoPredictor:
             (f4, f8, f16, f32), _pos = self.neck.apply(
                 {"params": params["neck"]}, feats)
             return f4, f8, f16
+
+        @jax.jit
+        def encode_image(params, img_u8):
+            """img_u8: (N, H0, W0, 3) uint8. Resize to the model square +
+            imagenet normalization run on device so only uint8 crosses
+            the host link."""
+            return _encode_from01(params, img_u8.astype(jnp.float32) / 255.0)
+
+        @jax.jit
+        def encode_image_yuv(params, yuv_u8):
+            """yuv_u8: (N, H0*3//2, W0) I420 uint8 — 2x fewer bytes over
+            the serial host link than RGB (ops/colorspace.py)."""
+            from videovanish_tpu.ops.colorspace import yuv420_to_rgb01
+            return _encode_from01(params, yuv420_to_rgb01(yuv_u8))
 
         @jax.jit
         def decode(params, f16, f4, f8, mem_feats, mem_valid, mem_age,
@@ -429,7 +450,25 @@ class Sam2VideoPredictor:
                 bank_ptrs, ptr_tok, (0, ptr_slot * splits, 0))
             return logits_full, feats_next, ptrs_next
 
-        fns = (encode_image, decode, step)
+        @functools.partial(jax.jit, static_argnames=("pack",))
+        def step_chunk(params, f4c, f8c, f16c, fidx, bank_feats, mem_valid,
+                       mem_age, bank_ptrs, ptr_valid_tok, ptr_tdiff, points,
+                       labels, write_slot, ptr_slot, binarize, pack=False):
+            """step() reading frame `fidx` out of a CHUNK of pre-encoded
+            features (leading axis = chunk). Batch-encoding frames
+            amortizes the per-dispatch tunnel overhead and keeps the
+            Hiera backbone MXU-dense; the slice costs nothing on device.
+            pack=True fuses the bit-pack of the output masks into the
+            same program (one dispatch per frame total)."""
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, fidx, 1, 0)
+            logits_full, feats_next, ptrs_next = step(
+                params, sl(f16c), sl(f4c), sl(f8c), bank_feats, mem_valid,
+                mem_age, bank_ptrs, ptr_valid_tok, ptr_tdiff, points,
+                labels, write_slot, ptr_slot, binarize)
+            out = _pack_binary_masks(logits_full) if pack else logits_full
+            return out, feats_next, ptrs_next
+
+        fns = (encode_image, decode, step, encode_image_yuv, step_chunk)
         self._jit[key] = fns
         return fns
 
@@ -515,7 +554,7 @@ class Sam2VideoPredictor:
         if frame_idx in cache:
             return cache[frame_idx]
         f = state["frames"][frame_idx]
-        encode_image, _, _ = self._fns(state["H0"], state["W0"])
+        encode_image = self._fns(state["H0"], state["W0"])[0]
         # ship uint8 (the host link is the bottleneck: 4x fewer bytes
         # than f32); normalize + resize on device inside encode_image
         feats = encode_image(self.params, jnp.asarray(f)[None])
@@ -556,7 +595,7 @@ class Sam2VideoPredictor:
         """Memoryless single-frame decode for interactive feedback."""
         O = len(state["obj_ids"])
         f4, f8, f16 = self._encode_frame(state, frame_idx)
-        _, decode, _ = self._fns(state["H0"], state["W0"])
+        decode = self._fns(state["H0"], state["W0"])[1]
         feats, ptrs = self._empty_device_bank(O)
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
@@ -599,19 +638,49 @@ class Sam2VideoPredictor:
                 else min(T, first + max_frame_num_to_track)
             frame_order = range(first, last)
 
-        _, _, step = self._fns(state["H0"], state["W0"])
+        fns = self._fns(state["H0"], state["W0"])
+        encode_rgb, encode_yuv, step_chunk = fns[0], fns[3], fns[4]
         feats, ptrs = self._empty_device_bank(O)
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
 
-        W0 = state["W0"]
+        H0, W0 = state["H0"], state["W0"]
+        frames = state["frames"]
+        idxs = list(frame_order)
+        # I420 wire needs even dims; odd videos fall back to RGB uint8
+        use_yuv = (self.cfg.wire == "yuv420") \
+            and (H0 % 2 == 0) and (W0 % 2 == 0)
+        CH = ENCODE_CHUNK
+
+        def encode_chunk(pos):
+            """Batch-encode idxs[pos:pos+CH] in ONE upload + dispatch
+            (last chunk padded by repeating its final frame so the jit
+            program shape is static). YUV420 wire = 2x fewer bytes over
+            the serial host link. Timers measure host-side cost only:
+            dispatch returns before device compute finishes (the axon
+            tunnel is async); device time lands in sam2.fetch."""
+            sel = idxs[pos:pos + CH]
+            t0 = time.perf_counter()
+            arrs = [np.asarray(frames[i]) for i in sel]
+            arrs += [arrs[-1]] * (CH - len(arrs))
+            batch = np.stack(arrs)
+            wire = rgb_to_yuv420_host(batch) if use_yuv else batch
+            t1 = time.perf_counter()
+            record_stage("sam2.wire_prep", t1 - t0, frames=len(sel),
+                         bytes=int(wire.nbytes))
+            out = (encode_yuv if use_yuv else encode_rgb)(self.params, wire)
+            record_stage("sam2.encode_dispatch", time.perf_counter() - t1,
+                         frames=len(sel))
+            return out
 
         def unpack(arr):
             return np.unpackbits(arr, axis=-1)[:, :, :W0]
 
+        chunk = None
         pending = None  # one-frame fetch lookahead
-        for t in frame_order:
-            f4, f8, f16 = self._encode_frame(state, t)
+        for k, t in enumerate(idxs):
+            if k % CH == 0:
+                chunk = encode_chunk(k)
             is_cond = t in state["prompts"]
             # memory validity/ages from occupancy BEFORE this frame writes
             valid, age, pvalid, tdiff = self._meta_arrays(
@@ -623,26 +692,32 @@ class Sam2VideoPredictor:
                 labels = np.full((O, MAX_POINTS), -1, np.int32)
             write_slot = meta.choose_slot(t, is_cond)
             ptr_slot = meta.choose_ptr_slot(t, is_cond)
-            logits_full, feats, ptrs = step(
-                self.params, f16, f4, f8, feats, valid, age, ptrs, pvalid,
+            t2 = time.perf_counter()
+            dev, feats, ptrs = step_chunk(
+                self.params, chunk[0], chunk[1], chunk[2],
+                jnp.int32(k % CH), feats, valid, age, ptrs, pvalid,
                 tdiff, jnp.asarray(points), jnp.asarray(labels),
                 jnp.int32(write_slot), jnp.int32(ptr_slot),
-                jnp.bool_(is_cond))
+                jnp.bool_(is_cond), pack=yield_binary)
+            record_stage("sam2.step_dispatch", time.perf_counter() - t2)
 
-            dev = _pack_binary_masks(logits_full) if yield_binary else logits_full
             try:  # overlap this frame's host fetch with the next frame's
                 dev.copy_to_host_async()
             except Exception:
                 pass
             if pending is not None:
                 pt, parr = pending
+                t3 = time.perf_counter()
                 arr = np.asarray(parr)
+                record_stage("sam2.fetch", time.perf_counter() - t3)
                 arr = unpack(arr) if yield_binary else arr
                 yield pt, obj_ids, [arr[i] for i in range(O)]
             pending = (t, dev)
         if pending is not None:
             pt, parr = pending
+            t3 = time.perf_counter()
             arr = np.asarray(parr)
+            record_stage("sam2.fetch", time.perf_counter() - t3)
             arr = unpack(arr) if yield_binary else arr
             yield pt, obj_ids, [arr[i] for i in range(O)]
 
