@@ -119,36 +119,18 @@ def _get_models(ckpt: str):
     return video_inpainting_sd, propainter
 
 
-def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
-                         ckpt: str = "2-Step", propainer_frames=None,
-                         max_img_size: int = 960,
-                         keep_unmasked_original: bool = True,
-                         feather_px: int = 3, prog=None,
-                         frame_offset: int = 0, latent_carry=None,
-                         return_latent_tail: int = 0):
-    """Remove the masked objects from frames_rgb.
-
-    frames_rgb:  list of (H,W,3) RGB uint8
-    mask_frames: list of (H,W,3) or (H,W) uint8; any nonzero channel = hole
-    propainer_frames: optional precomputed prior frames (same size as input)
-    frame_offset/latent_carry/return_latent_tail: cross-chunk latent
-    blending hooks for the long-video driver (pipeline/chunking.py) —
-    see DiffuEraser.forward. With return_latent_tail > 0 the last n
-    frames are withheld and (frames, carry) is returned.
-    Returns list of (H,W,3) RGB uint8 (original resolution).
-    """
-    prog = prog or null_prog
-    frames = np.stack([np.asarray(f) for f in frames_rgb])
-    T, H0, W0 = frames.shape[:3]
+def dilate_masks(mask_frames, mask_dilation_iter: int):
+    """Binarize + dilate the mask stack; returns ((T,H,W) uint8 {0,255}
+    host array, device copy or None). Host venue (native/cv2) whenever
+    available — see module docstring on the postprocess venue."""
     masks = np.stack([np.asarray(m) for m in mask_frames])
-
-    prog(5, "dilating frames")
     if masks.ndim == 3:  # (T, H, W) channel-less -> add channel axis
         masks = np.repeat(masks[..., None], 3, axis=-1)
     nat = _native()
     host_post = nat is not None \
         and os.environ.get("VV_HOST_POSTPROC", "1") != "0"
     dilated = None  # device copy, only materialized on the device path
+    T = masks.shape[0]
     with stage_timer("mask_dilate", frames=T):
         if host_post:
             # or-channels beats np.any(axis=-1) ~12x on strided RGB rows;
@@ -162,6 +144,72 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
             dilated = binarize_and_dilate(jnp.asarray(masks),
                                           mask_dilation_iter)
             dilated_np = np.asarray(dilated)  # (T, H, W) uint8 {0,255}
+    return dilated_np, dilated
+
+
+def compute_prior(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
+                  ckpt: str = "2-Step", prog=None):
+    """Dilate masks + run the ProPainter prior, returning
+    (dilated_np, prior_device_or_None) for `run_infill_on_frames`'s
+    `dilated_masks`/`propainer_frames` params. Split out so the chunked
+    driver can DISPATCH chunk N+1's prior while the host still
+    postprocesses chunk N (the device queue stays full through the
+    host-side composite/save; pipeline/chunking.py)."""
+    prog = prog or null_prog
+    dilated_np, _ = dilate_masks(mask_frames, mask_dilation_iter)
+    _, pp = _get_models(ckpt or "2-Step")
+    prior = None
+    if pp is not None:
+        cfg = _get_config().propainter
+        T = len(frames_rgb)
+        with stage_timer("propainter_prior", frames=T):
+            prior = pp.forward(
+                [np.asarray(f) for f in frames_rgb],
+                [dilated_np[i] for i in range(T)],
+                ref_stride=cfg.ref_stride,
+                neighbor_length=cfg.neighbor_length,
+                subvideo_length=cfg.subvideo_length,
+                mask_dilation=0, progress=prog, return_device=True)
+    return dilated_np, prior
+
+
+def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
+                         ckpt: str = "2-Step", propainer_frames=None,
+                         max_img_size: int = 960,
+                         keep_unmasked_original: bool = True,
+                         feather_px: int = 3, prog=None,
+                         frame_offset: int = 0, latent_carry=None,
+                         return_latent_tail: int = 0,
+                         dilated_masks=None, on_device_idle=None):
+    """Remove the masked objects from frames_rgb.
+
+    frames_rgb:  list of (H,W,3) RGB uint8
+    mask_frames: list of (H,W,3) or (H,W) uint8; any nonzero channel = hole
+    propainer_frames: optional precomputed prior frames (same size as input)
+    frame_offset/latent_carry/return_latent_tail: cross-chunk latent
+    blending hooks for the long-video driver (pipeline/chunking.py) —
+    see DiffuEraser.forward. With return_latent_tail > 0 the last n
+    frames are withheld and (frames, carry) is returned.
+    dilated_masks: optional precomputed (T,H,W) uint8 {0,255} dilated
+    mask stack (from `dilate_masks`/`compute_prior`) — skips dilation.
+    on_device_idle: optional zero-arg callback fired when the device goes
+    idle (all denoise outputs fetched, host postprocess still ahead) —
+    the chunked driver uses it to dispatch the NEXT chunk's prior.
+    Returns list of (H,W,3) RGB uint8 (original resolution).
+    """
+    prog = prog or null_prog
+    frames = np.stack([np.asarray(f) for f in frames_rgb])
+    T, H0, W0 = frames.shape[:3]
+
+    prog(5, "dilating frames")
+    nat = _native()
+    host_post = nat is not None \
+        and os.environ.get("VV_HOST_POSTPROC", "1") != "0"
+    dilated = None  # device copy, only materialized on the device path
+    if dilated_masks is not None:
+        dilated_np = np.asarray(dilated_masks)
+    else:
+        dilated_np, dilated = dilate_masks(mask_frames, mask_dilation_iter)
 
     prog(10, "loading weights")
     model, pp = _get_models(ckpt or "2-Step")
@@ -211,6 +259,13 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
             dilated_np = dilated_np[: len(inpainted)]
             if dilated is not None:
                 dilated = dilated[: len(inpainted)]
+
+        if on_device_idle is not None:
+            # all denoise outputs are fetched; only host postprocess
+            # remains — let the caller refill the device queue (e.g.
+            # dispatch the next chunk's ProPainter prior) so the chip
+            # works through the composite/save below
+            on_device_idle()
 
         prog(90, "resizing and merging finished frames")
         with stage_timer("rescale_composite", frames=T):
