@@ -23,13 +23,20 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
     """x: (B, H, W, Cin); offset: (B, H, W, G, K, 2) as (dy, dx);
     mask: (B, H, W, G, K) in [0, 1]; kernel: flax layout (kh, kw, Cin,
     Cout); returns (B, H, W, Cout). Stride 1, dilation 1 (ProPainter's
-    only configuration)."""
+    only configuration).
+
+    Venue: all K taps of a group sample through ops/flow.bilinear_gather
+    (f32 x-pair slice gathers — see its docstring for the measured TPU
+    gather rules), and each group's (tap, cin) -> cout contraction runs
+    on the MXU immediately (f32 accumulate), so the (B, H, W, K, Cin)
+    sample tensor is never materialized in HBM."""
+    from videovanish_tpu.ops.flow import bilinear_gather
+
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = kernel.shape
     K = kh * kw
     G = mask.shape[3]
     cg = Cin // G
-    flat = x.reshape(B, H * W, Cin)
     ks = jnp.arange(K)
     ky = (ks // kw - padding).astype(jnp.float32)
     kx = (ks % kw - padding).astype(jnp.float32)
@@ -38,35 +45,18 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
         + ky[None, None, None, None, :] + offset[..., 0].astype(jnp.float32)
     sx = jnp.arange(W, dtype=jnp.float32)[None, None, :, None, None] \
         + kx[None, None, None, None, :] + offset[..., 1].astype(jnp.float32)
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = sy - y0
-    wx = sx - x0
-    group_samples = []
+    kmat = kernel.reshape(K, Cin, Cout).astype(jnp.float32)
+    out = jnp.zeros((B, H * W, Cout), jnp.float32)
     for g in range(G):
-        y0g, x0g = y0[:, :, :, g, :], x0[:, :, :, g, :]  # (B, H, W, K)
-        wyg = wy[:, :, :, g, :].reshape(B, -1, 1)
-        wxg = wx[:, :, :, g, :].reshape(B, -1, 1)
-
-        def gather(yi, xi):
-            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-            xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-            idx = (yi * W + xi).reshape(B, -1, 1)
-            vals = jnp.take_along_axis(flat, idx, axis=1)
-            vals = vals[..., g * cg:(g + 1) * cg].astype(jnp.float32)
-            return jnp.where(inb.reshape(B, -1, 1), vals, 0.0)
-
-        v = ((1 - wyg) * (1 - wxg)) * gather(y0g, x0g) \
-            + ((1 - wyg) * wxg) * gather(y0g, x0g + 1) \
-            + (wyg * (1 - wxg)) * gather(y0g + 1, x0g) \
-            + (wyg * wxg) * gather(y0g + 1, x0g + 1)
-        group_samples.append(v.reshape(B, H, W, K, cg))
-    s = jnp.stack(group_samples, axis=3)  # (B, H, W, G, K, cg)
-    s = s * mask[..., None].astype(jnp.float32)
-    s = s.transpose(0, 1, 2, 4, 3, 5).reshape(B, H, W, K, Cin)
-    out = jnp.einsum("bhwkc,kco->bhwo", s,
-                     kernel.reshape(K, Cin, Cout).astype(jnp.float32))
+        syg = sy[:, :, :, g, :].reshape(B, -1)  # (B, H*W*K)
+        sxg = sx[:, :, :, g, :].reshape(B, -1)
+        v = bilinear_gather(x, syg, sxg)        # (B, H*W*K, Cin) f32
+        v = v.reshape(B, H * W, K, Cin)[..., g * cg:(g + 1) * cg]
+        v = v * mask[:, :, :, g, :].reshape(B, H * W, K, 1) \
+            .astype(jnp.float32)
+        out = out + jnp.einsum("bpkc,kco->bpo", v,
+                               kmat[:, g * cg:(g + 1) * cg])
+    out = out.reshape(B, H, W, Cout)
     return (out + bias).astype(x.dtype)
 
 
