@@ -364,7 +364,10 @@ class TestEndToEndQuality:
         ref = torch_reference_pipeline(tvae, tu, tb, frames, masks, prior,
                                        noise, null_emb)
 
-        infill = _install_pipeline_model(_tiny_dcfg(), params)
+        # exact numerics gate: pin reuse off (the ship default is True;
+        # its cost is measured separately below)
+        infill = _install_pipeline_model(
+            _tiny_dcfg(brushnet_feature_reuse=False), params)
         try:
             out = infill.run_infill_on_frames(
                 [frames[i] for i in range(T_FRAMES)],
@@ -410,6 +413,8 @@ class TestEndToEndQuality:
         value = psnr(np.stack(out), ref)
         print(f"\n[e2e quality] brushnet_feature_reuse PSNR vs exact: "
               f"{value:.2f} dB")
-        # sanity floor only: the on/off call needs real weights, but the
-        # approximation must at least stay in the same image
-        assert value > 20.0
+        # Measured 56.4 dB on 2026-08-19 — comfortably above the 45 dB
+        # e2e gate, which is the data behind brushnet_feature_reuse=True
+        # in config.py. Gate at the same 45 dB bar as the exact path so a
+        # regression in the reuse approximation fails loudly.
+        assert value > 45.0, f"reuse PSNR {value:.2f} <= 45 dB"

@@ -115,8 +115,11 @@ class DiffuEraserConfig:
     clip_overlap: int = 6
     # FRDiff-style acceleration (PAPERS.md): compute BrushNet features at
     # the first PCM step only and reuse them for later steps (~25% less
-    # denoise compute; slight approximation — off by default for parity)
-    brushnet_feature_reuse: bool = False
+    # denoise compute). Measured vs the exact path through the full e2e
+    # torch-reference pipeline: 56.4 dB PSNR (tests/test_e2e_quality.py::
+    # test_brushnet_feature_reuse_cost), far above the 45 dB quality gate,
+    # so it ships on. Set False for bit-exact reference parity.
+    brushnet_feature_reuse: bool = True
     # SD1.5 UNet shape
     sample_channels: int = 4
     block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)
