@@ -451,24 +451,45 @@ class Sam2VideoPredictor:
             return logits_full, feats_next, ptrs_next
 
         @functools.partial(jax.jit, static_argnames=("pack",))
-        def step_chunk(params, f4c, f8c, f16c, fidx, bank_feats, mem_valid,
-                       mem_age, bank_ptrs, ptr_valid_tok, ptr_tdiff, points,
-                       labels, write_slot, ptr_slot, binarize, pack=False):
-            """step() reading frame `fidx` out of a CHUNK of pre-encoded
-            features (leading axis = chunk). Batch-encoding frames
-            amortizes the per-dispatch tunnel overhead and keeps the
-            Hiera backbone MXU-dense; the slice costs nothing on device.
-            pack=True fuses the bit-pack of the output masks into the
-            same program (one dispatch per frame total)."""
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, fidx, 1, 0)
-            logits_full, feats_next, ptrs_next = step(
-                params, sl(f16c), sl(f4c), sl(f8c), bank_feats, mem_valid,
-                mem_age, bank_ptrs, ptr_valid_tok, ptr_tdiff, points,
-                labels, write_slot, ptr_slot, binarize)
-            out = _pack_binary_masks(logits_full) if pack else logits_full
-            return out, feats_next, ptrs_next
+        def scan_chunk(params, f4c, f8c, f16c, bank_feats, bank_ptrs,
+                       mem_valid_c, mem_age_c, pvalid_c, tdiff_c, points_c,
+                       labels_c, write_slot_c, ptr_slot_c, binarize_c,
+                       live_c, pack=False):
+            """A whole encode-chunk of sequential propagation steps fused
+            into ONE dispatch via lax.scan over the chunk axis. The memory
+            bank is the scan carry (stays in HBM across frames); per-frame
+            prompt/occupancy metadata rides in as stacked (CH, ...) arrays
+            built on host. One dispatch + ONE output fetch per CH frames
+            instead of per frame — each blocking fetch through the axon
+            tunnel costs a ~27 ms sync round-trip, which at CH=8 was ~45%
+            of the whole 480p masking wall-clock.
 
-        fns = (encode_image, decode, step, encode_image_yuv, step_chunk)
+            live_c: padded tail frames of the last chunk are stepped (the
+            program shape is static) but their bank writes are discarded,
+            so padding can't corrupt the memory state.
+            pack=True fuses the bit-pack of output masks into the same
+            program (1 bit/px over the serial host link)."""
+            def body(carry, xs):
+                feats0, ptrs0 = carry
+                (f4, f8, f16, mv, ma, pv, td, pts, lbs, ws, ps, binz,
+                 live) = xs
+                logits_full, feats1, ptrs1 = step(
+                    params, f16[None], f4[None], f8[None], feats0, mv, ma,
+                    ptrs0, pv, td, pts, lbs, ws, ps, binz)
+                feats1 = jnp.where(live, feats1, feats0)
+                ptrs1 = jnp.where(live, ptrs1, ptrs0)
+                out = _pack_binary_masks(logits_full) if pack \
+                    else logits_full
+                return (feats1, ptrs1), out
+
+            (bank_feats, bank_ptrs), outs = jax.lax.scan(
+                body, (bank_feats, bank_ptrs),
+                (f4c, f8c, f16c, mem_valid_c, mem_age_c, pvalid_c, tdiff_c,
+                 points_c, labels_c, write_slot_c, ptr_slot_c, binarize_c,
+                 live_c))
+            return outs, bank_feats, bank_ptrs
+
+        fns = (encode_image, decode, step, encode_image_yuv, scan_chunk)
         self._jit[key] = fns
         return fns
 
@@ -587,7 +608,9 @@ class Sam2VideoPredictor:
         pvalid_tok = np.repeat(pvalid, splits)
 
         def bc(a):
-            return jnp.asarray(np.broadcast_to(a, (O,) + a.shape))
+            # numpy out: callers stack per-frame metas into chunk arrays
+            # before a single upload (jit call sites accept numpy)
+            return np.broadcast_to(a, (O,) + a.shape)
 
         return bc(valid), bc(age), bc(pvalid_tok), bc(tdiff)
 
@@ -639,7 +662,7 @@ class Sam2VideoPredictor:
             frame_order = range(first, last)
 
         fns = self._fns(state["H0"], state["W0"])
-        encode_rgb, encode_yuv, step_chunk = fns[0], fns[3], fns[4]
+        encode_rgb, encode_yuv, scan_chunk = fns[0], fns[3], fns[4]
         feats, ptrs = self._empty_device_bank(O)
         meta = _BankMeta(self.cfg.num_maskmem,
                          self.cfg.max_obj_ptrs_in_encoder)
@@ -673,53 +696,67 @@ class Sam2VideoPredictor:
                          frames=len(sel))
             return out
 
-        def unpack(arr):
-            return np.unpackbits(arr, axis=-1)[:, :, :W0]
+        def unpack(arr):  # (CH, O, H, Wp) packed -> (CH, O, H, W0) 0/1
+            return np.unpackbits(arr, axis=-1)[..., :W0]
 
-        chunk = None
-        pending = None  # one-frame fetch lookahead
-        for k, t in enumerate(idxs):
-            if k % CH == 0:
-                chunk = encode_chunk(k)
-            is_cond = t in state["prompts"]
-            # memory validity/ages from occupancy BEFORE this frame writes
-            valid, age, pvalid, tdiff = self._meta_arrays(
-                meta, t, O, reverse=reverse, num_total_frames=T)
-            if is_cond:
-                points, labels = self._prompt_arrays(state, t)
-            else:
-                points = np.zeros((O, MAX_POINTS, 2), np.float32)
-                labels = np.full((O, MAX_POINTS), -1, np.int32)
-            write_slot = meta.choose_slot(t, is_cond)
-            ptr_slot = meta.choose_ptr_slot(t, is_cond)
+        def fetch_yield(sel, dev):
+            t3 = time.perf_counter()
+            arr = np.asarray(dev)  # (CH, O, H0, Wp|W0)
+            record_stage("sam2.fetch", time.perf_counter() - t3,
+                         frames=len(sel))
+            arr = unpack(arr) if yield_binary else arr
+            for j, pt in enumerate(sel):
+                yield pt, obj_ids, [arr[j, i] for i in range(O)]
+
+        pending = None  # one-chunk fetch lookahead
+        for pos in range(0, len(idxs), CH):
+            sel = idxs[pos:pos + CH]
+            chunk = encode_chunk(pos)
+            # host-side sequential occupancy: frame j's validity/ages are
+            # from occupancy BEFORE it writes, exactly as the per-frame
+            # loop computed them; padded tail repeats the last frame but
+            # is marked not-live (no bank write, output discarded)
+            mv, ma, pv, td, pts_c, lbs_c = [], [], [], [], [], []
+            ws_c, ps_c, bz_c, lv_c = [], [], [], []
+            for j in range(CH):
+                live = j < len(sel)
+                t = sel[j] if live else sel[-1]
+                is_cond = live and (t in state["prompts"])
+                valid, age, pvalid, tdiff = self._meta_arrays(
+                    meta, t, O, reverse=reverse, num_total_frames=T)
+                if is_cond:
+                    points, labels = self._prompt_arrays(state, t)
+                else:
+                    points = np.zeros((O, MAX_POINTS, 2), np.float32)
+                    labels = np.full((O, MAX_POINTS), -1, np.int32)
+                if live:
+                    ws = meta.choose_slot(t, is_cond)
+                    ps = meta.choose_ptr_slot(t, is_cond)
+                else:
+                    ws, ps = 0, 0
+                mv.append(valid); ma.append(age); pv.append(pvalid)
+                td.append(tdiff); pts_c.append(points); lbs_c.append(labels)
+                ws_c.append(ws); ps_c.append(ps); bz_c.append(is_cond)
+                lv_c.append(live)
             t2 = time.perf_counter()
-            dev, feats, ptrs = step_chunk(
-                self.params, chunk[0], chunk[1], chunk[2],
-                jnp.int32(k % CH), feats, valid, age, ptrs, pvalid,
-                tdiff, jnp.asarray(points), jnp.asarray(labels),
-                jnp.int32(write_slot), jnp.int32(ptr_slot),
-                jnp.bool_(is_cond), pack=yield_binary)
-            record_stage("sam2.step_dispatch", time.perf_counter() - t2)
-
-            try:  # overlap this frame's host fetch with the next frame's
+            dev, feats, ptrs = scan_chunk(
+                self.params, chunk[0], chunk[1], chunk[2], feats, ptrs,
+                np.stack(mv), np.stack(ma), np.stack(pv), np.stack(td),
+                np.stack(pts_c), np.stack(lbs_c),
+                np.asarray(ws_c, np.int32), np.asarray(ps_c, np.int32),
+                np.asarray(bz_c, bool), np.asarray(lv_c, bool),
+                pack=yield_binary)
+            record_stage("sam2.step_dispatch", time.perf_counter() - t2,
+                         frames=len(sel))
+            try:  # overlap this chunk's host fetch with the next's steps
                 dev.copy_to_host_async()
             except Exception:
                 pass
             if pending is not None:
-                pt, parr = pending
-                t3 = time.perf_counter()
-                arr = np.asarray(parr)
-                record_stage("sam2.fetch", time.perf_counter() - t3)
-                arr = unpack(arr) if yield_binary else arr
-                yield pt, obj_ids, [arr[i] for i in range(O)]
-            pending = (t, dev)
+                yield from fetch_yield(*pending)
+            pending = (sel, dev)
         if pending is not None:
-            pt, parr = pending
-            t3 = time.perf_counter()
-            arr = np.asarray(parr)
-            record_stage("sam2.fetch", time.perf_counter() - t3)
-            arr = unpack(arr) if yield_binary else arr
-            yield pt, obj_ids, [arr[i] for i in range(O)]
+            yield from fetch_yield(*pending)
 
 
 def build_sam2_video_predictor(config_file=None, ckpt_path=None, device=None,
