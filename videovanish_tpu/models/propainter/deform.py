@@ -7,10 +7,12 @@ TPU-native: all K taps of one offset group are gathered together as
 FULL-WIDTH rows (C on lanes) and the group's cg lanes sliced afterwards
 — narrow-lane gathers are the slow path on TPU (measured 2.5x: 24.7 ms
 -> 9.8 ms per 60x108x128 alignment on v5e), because the gather unit
-moves whole 128-lane rows either way. Then ONE einsum contracts
-(tap, cin) -> cout on the MXU. torchvision.ops.deform_conv2d layout
-conventions are kept: offset channels ordered (group, tap, [dy, dx]),
-zero padding outside.
+moves whole 128-lane rows either way. Each group's (tap, cin) -> cout
+contraction then runs immediately on the MXU (fused per group: the
+(B, H, W, K, Cin) sample tensor never materializes in HBM; measured
+11.1 vs 13.9 ms/call). torchvision.ops.deform_conv2d layout conventions
+are kept: offset channels ordered (group, tap, [dy, dx]), zero padding
+outside.
 """
 from __future__ import annotations
 
@@ -25,18 +27,23 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
     Cout); returns (B, H, W, Cout). Stride 1, dilation 1 (ProPainter's
     only configuration).
 
-    Venue: all K taps of a group sample through ops/flow.bilinear_gather
-    (f32 x-pair slice gathers — see its docstring for the measured TPU
-    gather rules), and each group's (tap, cin) -> cout contraction runs
-    on the MXU immediately (f32 accumulate), so the (B, H, W, K, Cin)
-    sample tensor is never materialized in HBM."""
-    from videovanish_tpu.ops.flow import bilinear_gather
-
+    Venue (all variants measured in-context on v5e at the alignment
+    shape 60x108x128, G=16, chained under lax.scan): taps gather as
+    full-width rows via take_along_axis in the INPUT dtype (bf16 rows
+    11.1 ms/call vs 13.9 f32 — and x is bf16 on TPU anyway, so no extra
+    rounding), and each group's (tap, cin) -> cout contraction runs on
+    the MXU immediately with f32 accumulation, so the (B, H, W, K, Cin)
+    sample tensor never hits HBM. The x-pair (1,2,C) slice-gather
+    formulation that wins in isolated microbenchmarks LOSES here (28.1
+    ms/call, and its vmap-batched lax.gather scalarizes to per-sample
+    ops inside the propagation while-loop — measured 81% of a 720p
+    window's device time); see PROFILE_720p.md history."""
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = kernel.shape
     K = kh * kw
     G = mask.shape[3]
     cg = Cin // G
+    flat = x.reshape(B, H * W, Cin)
     ks = jnp.arange(K)
     ky = (ks // kw - padding).astype(jnp.float32)
     kx = (ks % kw - padding).astype(jnp.float32)
@@ -45,15 +52,32 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
         + ky[None, None, None, None, :] + offset[..., 0].astype(jnp.float32)
     sx = jnp.arange(W, dtype=jnp.float32)[None, None, :, None, None] \
         + kx[None, None, None, None, :] + offset[..., 1].astype(jnp.float32)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
     kmat = kernel.reshape(K, Cin, Cout).astype(jnp.float32)
     out = jnp.zeros((B, H * W, Cout), jnp.float32)
     for g in range(G):
-        syg = sy[:, :, :, g, :].reshape(B, -1)  # (B, H*W*K)
-        sxg = sx[:, :, :, g, :].reshape(B, -1)
-        v = bilinear_gather(x, syg, sxg)        # (B, H*W*K, Cin) f32
-        v = v.reshape(B, H * W, K, Cin)[..., g * cg:(g + 1) * cg]
-        v = v * mask[:, :, :, g, :].reshape(B, H * W, K, 1) \
-            .astype(jnp.float32)
+        y0g, x0g = y0[:, :, :, g, :], x0[:, :, :, g, :]  # (B, H, W, K)
+        wyg = wy[:, :, :, g, :].reshape(B, -1, 1)
+        wxg = wx[:, :, :, g, :].reshape(B, -1, 1)
+
+        def gather(yi, xi):
+            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+            xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+            idx = (yi * W + xi).reshape(B, -1, 1)
+            vals = jnp.take_along_axis(flat, idx, axis=1)
+            vals = vals[..., g * cg:(g + 1) * cg].astype(jnp.float32)
+            return jnp.where(inb.reshape(B, -1, 1), vals, 0.0)
+
+        v = ((1 - wyg) * (1 - wxg)) * gather(y0g, x0g) \
+            + ((1 - wyg) * wxg) * gather(y0g, x0g + 1) \
+            + (wyg * (1 - wxg)) * gather(y0g + 1, x0g) \
+            + (wyg * wxg) * gather(y0g + 1, x0g + 1)
+        v = v.reshape(B, H * W, K, cg) \
+            * mask[:, :, :, g, :].reshape(B, H * W, K, 1).astype(jnp.float32)
         out = out + jnp.einsum("bpkc,kco->bpo", v,
                                kmat[:, g * cg:(g + 1) * cg])
     out = out.reshape(B, H, W, Cout)

@@ -1,16 +1,7 @@
 """Optical-flow ops for the ProPainter-style prior: bilinear warping /
-sampling (x-pair slice gathers — the TPU-fast sampling primitive) and
+sampling (whole-row gathers — the TPU-fast sampling primitive) and
 gather-free local correlation (the reference's equivalents live in
 torch grid_sample / RAFT corr CUDA paths).
-
-Gather venue notes (measured on v5e, 60x108x128 f32 operand):
-  - gather cost scales with SEGMENT count, not bytes: ~330-480M
-    single-row segments/s; bf16 rows (256B, sub-granule) run ~1.5x
-    SLOWER than f32 rows despite half the bytes — so sample in f32;
-  - one lax.gather of (1,2,C) x-adjacent slices (a contiguous 2C-lane
-    segment) fetches two bilinear corners in one segment: measured 2x
-    over four single-row take_along_axis gathers;
-  - (2,2,C) slices are catastrophic (~230x slower) — never span rows.
 """
 from __future__ import annotations
 
@@ -18,60 +9,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-
-
-def _xpair_gather(padded: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray):
-    """Gather (1, 2, C) slices at integer (iy, ix) from a zero-padded
-    (Hp, Wp, C) image: returns (N, 2, C) = pixels (iy, ix) and
-    (iy, ix+1). Indices must already be within [0, Hp-1] x [0, Wp-2]."""
-    starts = jnp.stack([iy, ix], axis=-1)  # (N, 2)
-    dn = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,),
-        start_index_map=(0, 1))
-    return lax.gather(padded, starts, dn,
-                      slice_sizes=(1, 2, padded.shape[-1]),
-                      mode=lax.GatherScatterMode.CLIP)
-
-
-def bilinear_gather(img: jnp.ndarray, sy: jnp.ndarray,
-                    sx: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear-sample img at float coords, zero padding outside.
-
-    img: (B, H, W, C); sy/sx: (B, N) sample rows/cols (pixel units).
-    Returns (B, N, C) in float32. Out-of-bounds corners contribute 0 via
-    a zero border on the operand (no per-corner masks needed): that is
-    exactly torch grid_sample(padding_mode='zeros') on an align_corners
-    pixel grid.
-    """
-    B, H, W, C = img.shape
-    f = img.astype(jnp.float32)  # sub-granule bf16 rows gather slower
-    # border: 1 zero row/col before, 2 after — every clipped corner pair
-    # (iy in [0, H], ix in [0, W]) lands fully inside, OOB taps read 0
-    padded = jnp.pad(f, ((0, 0), (1, 2), (1, 2), (0, 0)))
-    # clamp far-OOB samples to the border FIRST: at sy=-1 / sy=H the
-    # fractional weight is exactly 0 / lands on the zero border, so the
-    # clamp preserves zero-padding semantics while keeping every corner
-    # inside the padded operand (a clamp after floor would let e.g.
-    # sy=-4.5 read real row 0 with weight .5)
-    sy = jnp.clip(sy.astype(jnp.float32), -1.0, jnp.float32(H))
-    sx = jnp.clip(sx.astype(jnp.float32), -1.0, jnp.float32(W))
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0)[..., None]
-    wx = (sx - x0)[..., None]
-    iy = y0.astype(jnp.int32) + 1  # into padded coords
-    ix = x0.astype(jnp.int32) + 1
-
-    def per_batch(pb, iyb, ixb):
-        top = _xpair_gather(pb, iyb, ixb)        # (N, 2, C): (y0, x0/x0+1)
-        bot = _xpair_gather(pb, iyb + 1, ixb)    # (N, 2, C): (y0+1, ...)
-        return top, bot
-
-    top, bot = jax.vmap(per_batch)(padded, iy, ix)
-    row0 = (1.0 - wx) * top[..., 0, :] + wx * top[..., 1, :]
-    row1 = (1.0 - wx) * bot[..., 0, :] + wx * bot[..., 1, :]
-    return (1.0 - wy) * row0 + wy * row1
 
 
 @jax.jit
@@ -84,10 +21,27 @@ def flow_warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C = img.shape
     gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
-    sx = (gx + flow[..., 0].astype(jnp.float32)).reshape(B, -1)
-    sy = (gy + flow[..., 1].astype(jnp.float32)).reshape(B, -1)
-    out = bilinear_gather(img, sy, sx)
-    return out.reshape(B, H, W, C).astype(img.dtype)
+    sx = gx + flow[..., 0].astype(jnp.float32)
+    sy = gy + flow[..., 1].astype(jnp.float32)
+
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    wx = sx - x0; wy = sy - y0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        flat = img.reshape(B, H * W, C)
+        idx = yi * W + xi  # (B, H, W)
+        vals = jnp.take_along_axis(flat, idx.reshape(B, -1, 1), axis=1)
+        vals = vals.reshape(B, H, W, C)
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    out = ((1 - wy) * (1 - wx))[..., None] * gather(y0, x0) \
+        + ((1 - wy) * wx)[..., None] * gather(y0, x0 + 1) \
+        + (wy * (1 - wx))[..., None] * gather(y0 + 1, x0) \
+        + (wy * wx)[..., None] * gather(y0 + 1, x0 + 1)
+    return out.astype(img.dtype)
 
 
 @jax.jit
@@ -97,13 +51,30 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     img:    (B, H, W, C)
     coords: (B, Ho, Wo, 2) — absolute pixel positions (x, y) in img space;
             the output grid (Ho, Wo) is independent of (H, W).
-    Returns (B, Ho, Wo, C).
+    Returns (B, Ho, Wo, C). The 4 taps are whole-row gathers (C on lanes)
+    — the TPU-friendly sampling primitive (scalar gathers are ~100x
+    slower on TPU).
     """
-    B = img.shape[0]
-    C = img.shape[-1]
-    sx = coords[..., 0].reshape(B, -1)
-    sy = coords[..., 1].reshape(B, -1)
-    out = bilinear_gather(img, sy, sx)
+    B, H, W, C = img.shape
+    sx = coords[..., 0].astype(jnp.float32)
+    sy = coords[..., 1].astype(jnp.float32)
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    wx = sx - x0; wy = sy - y0
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        idx = (yi * W + xi).reshape(B, -1, 1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+        return jnp.where(inb.reshape(B, -1, 1), vals, 0.0)
+
+    out = ((1 - wy) * (1 - wx)).reshape(B, -1, 1) * gather(y0, x0) \
+        + ((1 - wy) * wx).reshape(B, -1, 1) * gather(y0, x0 + 1) \
+        + (wy * (1 - wx)).reshape(B, -1, 1) * gather(y0 + 1, x0) \
+        + (wy * wx).reshape(B, -1, 1) * gather(y0 + 1, x0 + 1)
     return out.reshape(B, coords.shape[1], coords.shape[2], C) \
         .astype(img.dtype)
 
@@ -163,8 +134,7 @@ def flow_warp_mode(img: jnp.ndarray, flow: jnp.ndarray,
     inb = (sy >= 0) & (sy < H) & (sx >= 0) & (sx < W)
     yi = jnp.clip(sy, 0, H - 1).astype(jnp.int32)
     xi = jnp.clip(sx, 0, W - 1).astype(jnp.int32)
-    # f32 rows: sub-granule bf16 rows gather ~1.5x slower (module docstring)
-    flat = img.astype(jnp.float32).reshape(B, H * W, C)
+    flat = img.reshape(B, H * W, C)
     vals = jnp.take_along_axis(flat, (yi * W + xi).reshape(B, -1, 1), axis=1)
     vals = vals.reshape(B, H, W, C)
     return jnp.where(inb[..., None], vals, 0).astype(img.dtype)
