@@ -675,17 +675,17 @@ class Sam2VideoPredictor:
             and (H0 % 2 == 0) and (W0 % 2 == 0)
         CH = ENCODE_CHUNK
 
-        def encode_chunk(pos):
-            """Batch-encode idxs[pos:pos+CH] in ONE upload + dispatch
-            (last chunk padded by repeating its final frame so the jit
-            program shape is static). YUV420 wire = 2x fewer bytes over
-            the serial host link. Timers measure host-side cost only:
-            dispatch returns before device compute finishes (the axon
-            tunnel is async); device time lands in sam2.fetch."""
-            sel = idxs[pos:pos + CH]
+        def encode_chunk(pos, ch):
+            """Batch-encode idxs[pos:pos+ch] in ONE upload + dispatch
+            (padded by repeating the final frame so the jit program shape
+            is static). YUV420 wire = 2x fewer bytes over the serial host
+            link. Timers measure host-side cost only: dispatch returns
+            before device compute finishes (the axon tunnel is async);
+            device time lands in sam2.fetch."""
+            sel = idxs[pos:pos + ch]
             t0 = time.perf_counter()
             arrs = [np.asarray(frames[i]) for i in sel]
-            arrs += [arrs[-1]] * (CH - len(arrs))
+            arrs += [arrs[-1]] * (ch - len(arrs))
             batch = np.stack(arrs)
             wire = rgb_to_yuv420_host(batch) if use_yuv else batch
             t1 = time.perf_counter()
@@ -711,14 +711,20 @@ class Sam2VideoPredictor:
         pending = None  # one-chunk fetch lookahead
         for pos in range(0, len(idxs), CH):
             sel = idxs[pos:pos + CH]
-            chunk = encode_chunk(pos)
+            # pad the tail chunk to the next power of two instead of CH:
+            # a 1-frame interactive preview then steps/encodes 1 frame,
+            # not 8, at the cost of <= log2(CH)+1 compiled programs
+            ch = 1
+            while ch < len(sel):
+                ch *= 2
+            chunk = encode_chunk(pos, ch)
             # host-side sequential occupancy: frame j's validity/ages are
             # from occupancy BEFORE it writes, exactly as the per-frame
             # loop computed them; padded tail repeats the last frame but
             # is marked not-live (no bank write, output discarded)
             mv, ma, pv, td, pts_c, lbs_c = [], [], [], [], [], []
             ws_c, ps_c, bz_c, lv_c = [], [], [], []
-            for j in range(CH):
+            for j in range(ch):
                 live = j < len(sel)
                 t = sel[j] if live else sel[-1]
                 is_cond = live and (t in state["prompts"])
