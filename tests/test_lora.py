@@ -178,3 +178,42 @@ class TestLoRA:
         te = parse_lora_state(state, component="text_encoder")
         assert "layers.0.q" in te and len(te) == 1
         assert all(not k.startswith("layers.") for k in unet)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("peft") is None,
+    reason="peft not installed")
+class TestAgainstRealPeft:
+    """Cross-validate the merge against the actual peft library — the
+    same package the reference installer pins (install_videovanish.sh:79)
+    and the one that applies the PCM "2-Step" LoRA upstream
+    (/root/reference/diffuerase.py:37-45). Unlike the synthetic-layout
+    tests above, the adapter here is built, saved, and merged BY peft,
+    so the key inventory and the merge math are both third-party."""
+
+    def test_merge_matches_peft_merge_and_unload(self):
+        import peft
+        torch.manual_seed(3)
+        tu = TorchUNet().eval()
+        base = {k: v.numpy().copy() for k, v in tu.state_dict().items()}
+        cfg = peft.LoraConfig(
+            r=RANK, lora_alpha=ALPHA,
+            target_modules=["to_q", "to_k", "to_v", "to_out.0",
+                            "ff.net.0.proj", "proj_in", "conv_in"],
+            init_lora_weights=False)  # random lora_B -> nonzero delta
+        pm = peft.get_peft_model(tu, cfg)
+        saved = {k: v.numpy()
+                 for k, v in peft.get_peft_model_state_dict(pm).items()}
+        # raw peft saves carry no .alpha leaves (alpha lives in the
+        # config), so our parser defaults alpha=r; fold the config's
+        # alpha back in through scale, as a loader with the config would.
+        ours = merge_lora(base, parse_lora_state(saved),
+                          scale=ALPHA / RANK)
+        theirs = pm.merge_and_unload().state_dict()
+        n_changed = 0
+        for k, v in theirs.items():
+            np.testing.assert_allclose(ours[k], v.numpy(),
+                                       atol=1e-5, rtol=1e-5, err_msg=k)
+            if not np.array_equal(ours[k], base[k]):
+                n_changed += 1
+        assert n_changed >= len(cfg.target_modules)

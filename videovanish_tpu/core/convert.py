@@ -438,6 +438,9 @@ def parse_lora_state(state: dict, component: str = "unet") -> dict:
                 break
         else:
             continue  # not a LoRA leaf (e.g. embedded metadata)
+        if base.startswith("base_model.model."):
+            # raw peft save (get_peft_model_state_dict) — single-tower
+            base = base[len("base_model.model."):]
         if base.startswith("lora_unet_"):
             if component != "unet":
                 continue
