@@ -179,6 +179,26 @@ class TestLoRA:
         assert "layers.0.q" in te and len(te) == 1
         assert all(not k.startswith("layers.") for k in unet)
 
+    def test_raw_peft_routes_by_module_path(self):
+        """Raw peft saves (base_model.model.*) have no tower prefix:
+        entries route by module path (text_model.* -> text_encoder,
+        everything else -> unet) so parsing the same save for the other
+        tower yields nothing (ADVICE r3)."""
+        state = {
+            "base_model.model.down_blocks.0.attn.to_q"
+            ".lora_A.weight": np.zeros((2, 4), np.float32),
+            "base_model.model.down_blocks.0.attn.to_q"
+            ".lora_B.weight": np.zeros((4, 2), np.float32),
+            "base_model.model.text_model.encoder.layers.0.q_proj"
+            ".lora_A.weight": np.zeros((2, 4), np.float32),
+            "base_model.model.text_model.encoder.layers.0.q_proj"
+            ".lora_B.weight": np.zeros((4, 2), np.float32),
+        }
+        unet = parse_lora_state(state, component="unet")
+        te = parse_lora_state(state, component="text_encoder")
+        assert list(unet) == ["down_blocks.0.attn.to_q"]
+        assert list(te) == ["text_model.encoder.layers.0.q_proj"]
+
 
 @pytest.mark.skipif(
     __import__("importlib.util", fromlist=["util"]).find_spec("peft") is None,

@@ -439,8 +439,16 @@ def parse_lora_state(state: dict, component: str = "unet") -> dict:
         else:
             continue  # not a LoRA leaf (e.g. embedded metadata)
         if base.startswith("base_model.model."):
-            # raw peft save (get_peft_model_state_dict) — single-tower
+            # raw peft save (get_peft_model_state_dict) — single-tower,
+            # no tower prefix after stripping. Route by module path so
+            # parsing the same save for the OTHER tower yields nothing
+            # (CLIPTextModel paths start with "text_model."; SD UNet
+            # paths start with down_blocks/up_blocks/mid_block/...).
             base = base[len("base_model.model."):]
+            tower = "text_encoder" if base.startswith("text_model.") \
+                else "unet"
+            if component != tower:
+                continue
         if base.startswith("lora_unet_"):
             if component != "unet":
                 continue
