@@ -134,7 +134,8 @@ def bench_previews(height=720, width=1280, max_img_size=960):
     def infill_once():
         n = infill._get_config().diffueraser.clip_length  # preview N=22
         return infill.run_infill_on_frames(
-            list(video[:n]), list(masks[:n]), max_img_size=max_img_size)
+            list(video[:n]), list(masks[:n]), max_img_size=max_img_size,
+            preview=True)  # the GUI preview path: preview-tier res
 
     mask_once(), infill_once()  # warm every shape in both paths
     m_best = i_best = float("inf")
@@ -185,6 +186,45 @@ def bench_sam2(height=480, width=854, frames=48):
         if "bytes" in fields:
             d["bytes"] = d.get("bytes", 0) + fields["bytes"]
     return frames / best, split
+
+
+def bench_mfu_projection(height=720, width=1280, max_img_size=960):
+    """One traced clip_length window -> per-program device split with
+    MFU + the 8-chip projection under the pipeline's sharding model
+    (utils/profiling.py). Returns (programs, projection, venue).
+    Assumes the shape is already compiled (runs after bench_previews)."""
+    import tempfile
+
+    import jax
+
+    from videovanish_tpu.pipeline import infill
+    from videovanish_tpu.utils.profiling import (
+        aggregate_programs, device_rows, parse_framework_op_stats,
+        peak_tflops, project_multichip,
+    )
+
+    pcfg = infill._get_config().propainter
+    frames_n = infill._get_config().diffueraser.clip_length
+    video, masks = synth_clip(height, width, frames_n, seed=3)
+    fr, mk = list(video), list(masks)
+    infill.run_infill_on_frames(fr, mk, max_img_size=max_img_size)  # warm
+    trace_dir = tempfile.mkdtemp(prefix="vv_bench_xprof_")
+    jax.profiler.start_trace(trace_dir)
+    infill.run_infill_on_frames(fr, mk, max_img_size=max_img_size)
+    jax.profiler.stop_trace()
+    rows = parse_framework_op_stats(trace_dir)
+    dev, venue = device_rows(rows)
+    progs = aggregate_programs(dev, peak_tf=peak_tflops())
+    # window count of a production-length chunk (subvideo_length), not
+    # of this short capture: the projection models the long-video path
+    NL = min(pcfg.subvideo_length, pcfg.neighbor_length + 1)
+    stride = max(1, pcfg.neighbor_length // 2)
+    starts = list(range(0, max(pcfg.subvideo_length - NL, 0) + 1, stride))
+    if starts[-1] != pcfg.subvideo_length - NL:
+        starts.append(pcfg.subvideo_length - NL)
+    proj = project_multichip(progs, n_chips=8, frames=frames_n,
+                             n_windows=len(starts))
+    return progs, proj, venue
 
 
 def emit(metric, value, vs=None, **extra):
@@ -294,6 +334,21 @@ def main():
     except Exception as e:
         print(f"[bench] preview leg failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    try:
+        # per-program MFU + v5p-8 projection (VERDICT r3 item 8). The
+        # device-limited projection models the measured device split
+        # under the full-pipeline sharding design; wall-clock adds the
+        # host edge, so the real multi-chip number sits between this
+        # and the single-chip wall measurement.
+        progs, proj, venue = bench_mfu_projection()
+        emit("program_mfu_720p",
+             sum(d["ms"] for d in progs.values()) / 1e3, vs=0.0,
+             unit="seconds-device", venue=venue, programs=progs)
+        emit("projected_vanish_fps_720p_8chip_device_limited",
+             proj.get("projected_fps", 0.0), projection=proj)
+    except Exception as e:
+        print(f"[bench] mfu/projection leg failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
     try:
         up, down = probe_link()
         emit("host_link_MBps", down, vs=0.0, unit="MB/s", up_MBps=up)

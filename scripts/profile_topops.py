@@ -22,7 +22,6 @@ for host-side attribution, and exact on directly-attached TPU/CPU.
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -72,22 +71,14 @@ def main():
                                 max_img_size=args.max_img_size)
     jax.profiler.stop_trace()
 
-    xplanes = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                               recursive=True))
-    assert xplanes, f"no xplane.pb under {trace_dir}"
-    from xprof.convert import raw_to_tool_data as rttd
-    data, _ = rttd.xspace_to_tool_data(xplanes, "framework_op_stats", {})
-    table = json.loads(data)
-
-    # gviz: table[0] has cols + rows; map by column id
-    cols = [c["id"] for c in table[0]["cols"]]
-    rows = [{cols[i]: cell["v"] for i, cell in enumerate(r["c"])}
-            for r in table[0]["rows"]]
-    dev = [r for r in rows if str(r.get("host_or_device", "")).lower()
-           == "device"]
-    venue = "device"
-    if not dev:  # remote transport: device timeline absent -> host view
-        dev = rows
+    from videovanish_tpu.utils.profiling import (
+        aggregate_programs, device_rows, parse_framework_op_stats,
+        peak_tflops, project_multichip,
+    )
+    rows = parse_framework_op_stats(trace_dir)
+    cols = sorted(rows[0]) if rows else []
+    dev, venue = device_rows(rows)
+    if venue == "host":
         venue = "host (device timeline empty through the remote tunnel)"
 
     key = "total_self_time" if "total_self_time" in cols else \
@@ -108,6 +99,22 @@ def main():
               f"| {r.get('occurrences', '?')} |")
     print()
     print(f"(self-time column: `{key}`; full gviz columns: {cols})")
+
+    # per-program MFU split + the n-chip projection (VERDICT r3 item 8)
+    peak = peak_tflops()
+    progs = aggregate_programs(dev, peak_tf=peak)
+    print()
+    print(f"## Per-program device split (peak {peak:.0f} bf16 TFLOP/s)")
+    print()
+    print("| program | ms | % | MFU | serial (while) ms |")
+    print("|---|---|---|---|---|")
+    for prog, d in progs.items():
+        print(f"| {prog} | {d['ms']:.0f} | {100 * d['share']:.1f}% "
+              f"| {100 * d['mfu']:.1f}% | {d['serial_ms']:.0f} |")
+    proj = project_multichip(progs, n_chips=8, frames=frames)
+    print()
+    print(f"8-chip projection (sharding model in utils/profiling.py): "
+          f"{json.dumps(proj)}")
 
 
 if __name__ == "__main__":

@@ -26,8 +26,12 @@ def _clip(rng, T=10, H=64, W=64):
 class TestInfillSPMD:
     def test_auto_mesh_matches_single_device(self, rng, monkeypatch):
         """The full pipeline (dilate -> prior -> denoise -> composite)
-        under the auto-built 8-device mesh agrees with VV_MESH=0."""
-        frames, masks = _clip(rng)
+        under the auto-built 8-device mesh agrees with VV_MESH=0, and
+        EVERY device program receives frame/window-sharded operands
+        (VERDICT r3 #1: a denoise-only mesh caps the 8-chip speedup at
+        ~1.4x — the prior and the VAE must shard too)."""
+        from videovanish_tpu.utils import observability
+        frames, masks = _clip(rng, T=16)  # divisible by the 8-way axis
 
         monkeypatch.setenv("VV_MESH", "0")
         infill.set_config(tiny_config())
@@ -39,12 +43,26 @@ class TestInfillSPMD:
         infill.set_config(tiny_config())
         mesh = infill._get_mesh()
         assert mesh is not None and mesh.shape["data"] == 8
-        out = np.stack(infill.run_infill_on_frames(
-            frames, masks, mask_dilation_iter=2, max_img_size=64))
+        trace = []
+        observability.trace_shardings(trace)
+        try:
+            out = np.stack(infill.run_infill_on_frames(
+                frames, masks, mask_dilation_iter=2, max_img_size=64))
+        finally:
+            observability.trace_shardings(None)
         # f32 reduction order differs across shards (ring attention):
         # at most an off-by-one of the final uint8 rounding
         assert out.shape == ref.shape
         assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+        # ground truth that the mesh run sharded every program: the
+        # recorded specs are the shardings of the arrays the jit
+        # programs specialized on (leading axis split over "data")
+        sharded = {prog for prog, specs in trace
+                   if any(s and s[0] == "data" for s in specs.values())}
+        for prog in ("vae_encode", "vae_decode", "denoise_window",
+                     "propainter_stage1", "propainter_window"):
+            assert prog in sharded, (prog, trace)
 
         infill.set_config(tiny_config())  # reset singletons for later tests
 

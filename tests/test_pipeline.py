@@ -62,6 +62,39 @@ class TestInfillPipeline:
         # far from the dilated+feathered mask the original is untouched
         np.testing.assert_array_equal(out[0][:4, :4], frames[0][:4, :4])
 
+    def test_preview_tier_caps_inference_resolution(self, tiny_pipeline,
+                                                    rng, monkeypatch):
+        """preview=True routes the GUI's 22-frame preview through the
+        lower preview_img_size tier (interactive-latency envelope,
+        BASELINE config 5) while the output stays full-resolution."""
+        import dataclasses
+        from videovanish_tpu.config import tiny_config
+        cfg = tiny_config()
+        cfg = cfg.replace(diffueraser=dataclasses.replace(
+            cfg.diffueraser, preview_img_size=32))
+        tiny_pipeline.set_config(cfg)
+        try:
+            seen = {}
+            model, _ = tiny_pipeline._get_models("2-Step")
+            real_forward = model.forward
+
+            def spy(*a, **kw):
+                seen["max_img_size"] = kw.get("max_img_size")
+                return real_forward(*a, **kw)
+
+            monkeypatch.setattr(model, "forward", spy)
+            T, H, W = 4, 64, 64
+            frames = (rng.random((T, H, W, 3)) * 255).astype(np.uint8)
+            masks = np.zeros((T, H, W, 3), np.uint8)
+            masks[:, 24:40, 24:40, 1] = 255
+            out = tiny_pipeline.run_infill_on_frames(
+                list(frames), list(masks), mask_dilation_iter=2,
+                max_img_size=64, preview=True)
+            assert seen["max_img_size"] == 32  # capped by the tier
+            assert len(out) == T and out[0].shape == (H, W, 3)
+        finally:
+            tiny_pipeline.set_config(tiny_config())
+
     def test_roi_fetch_exact_vs_full(self, tiny_pipeline, rng):
         """output_roi must not change the composited result: the feathered
         alpha is 0 beyond the feather band, so out-of-ROI model output is

@@ -110,6 +110,13 @@ class DiffuEraserConfig:
     num_inference_steps: int = 2
     guidance_scale: float = 0.0  # reference default (diffuerase.py:61)
     max_img_size: int = 960  # long side, multiple of 8 (videovanish.py:1215)
+    # interactive preview tier: the GUI's 22-frame infill preview
+    # (videovanish.py:1572) runs at this lower inference resolution so
+    # click-to-picture stays interactive (~(640/960)^2 = 0.44x device
+    # work); the final Make Vanish always renders at max_img_size. The
+    # reference previews at the dock resolution — this is a deliberate
+    # latency/quality trade, opt out with preview_img_size = 0.
+    preview_img_size: int = 640
     # temporal clip handling (DiffuEraser-style overlapping windows)
     clip_length: int = 22  # frames per temporal window (matches preview N=22)
     clip_overlap: int = 6

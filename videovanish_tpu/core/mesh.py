@@ -53,6 +53,20 @@ def pspec(*axes) -> P:
     return P(*axes)
 
 
+def put_batch(mesh: Mesh | None, a):
+    """device_put `a` sharded over "data" on its leading (frame/batch)
+    axis when the axis tiles evenly over the mesh; replicated on the
+    mesh otherwise (uneven device_put is rejected by jax — uneven
+    intermediates instead shard via with_sharding_constraint inside the
+    jitted programs, which GSPMD pads internally). No-op without a mesh.
+    """
+    if mesh is None:
+        return a
+    if a.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        return jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS)))
+    return jax.device_put(a, NamedSharding(mesh, P()))
+
+
 # ---------------------------------------------------------------------------
 # multi-host (SURVEY.md §5 distributed-backend row)
 # ---------------------------------------------------------------------------

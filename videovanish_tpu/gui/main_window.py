@@ -342,7 +342,7 @@ class MainWindow(QMainWindow):
                 mask_path, f, INFILL_PREVIEW_FRAMES)
             return run_infill_on_frames(
                 frames, masks, mask_dilation_iter=dil, max_img_size=res,
-                keep_unmasked_original=keep, prog=report)
+                keep_unmasked_original=keep, prog=report, preview=True)
 
         self.run_with_progress(
             "Previewing Infill…", job,

@@ -40,7 +40,7 @@ from videovanish_tpu.ops.resize import (
     host_resize_bilinear_u8, host_resize_nearest_2d, plan_long_side,
     resize_bilinear, resize_nearest_2d,
 )
-from videovanish_tpu.utils.observability import stage_timer
+from videovanish_tpu.utils.observability import record_sharding, stage_timer
 
 
 def _emit_stage(name: str, seconds: float, **fields):
@@ -461,6 +461,30 @@ class DiffuEraser:
         (encode, encode_masked_u8, encode_u8, denoise_window, decode,
          encode_masked_yuv, encode_yuv) = self._get_jitted(clip_len)
 
+        # mesh staging: EVERY device program's frame-axis operands are
+        # device_put frame-sharded over "data" — VAE encode chunks,
+        # denoise windows, and VAE decode batches alike (VERDICT r3 #1:
+        # a denoise-only mesh caps 8-chip speedup at ~1.4x by Amdahl).
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from videovanish_tpu.core.mesh import DATA_AXIS
+            _bs = NamedSharding(self.mesh, P(DATA_AXIS))
+            _rep = NamedSharding(self.mesh, P())
+            _ndev = self.mesh.shape[DATA_AXIS]
+
+            def put(a):
+                # frame axis must tile evenly over "data"; pick clip_length
+                # as a multiple of the data-axis size for full SPMD —
+                # otherwise this window replicates (it must still live on
+                # the mesh's device set: params are mesh-replicated, and
+                # jit rejects inputs committed to different device sets)
+                if a.shape[0] % _ndev == 0:
+                    return jax.device_put(a, _bs)
+                return jax.device_put(a, _rep)
+        else:
+            def put(a):
+                return a
+
         # upload wire format: I420 halves the bytes/frame crossing the
         # serial host link (ops/colorspace.py); chroma subsampling only
         # touches the model's INPUT — unmasked output pixels come from
@@ -505,20 +529,24 @@ class DiffuEraser:
             enc_prior = encode_u8
 
         def ensure_encoded(upto: int):
-            """Encode chunks until frames [0, upto) have latents."""
+            """Encode chunks until frames [0, upto) have latents; under a
+            mesh each chunk uploads frame-sharded (chunk=8 tiles over any
+            power-of-two data axis), so the VAE encoders run SPMD."""
             while len(lat_c) * chunk < upto:
                 i = len(lat_c) * chunk
+                fr_dev = put(jnp.asarray(fr_wire[i:i + chunk]))
+                record_sharding("vae_encode", frames=fr_dev)
                 lat, mlat = enc_masked(
-                    self.params, jnp.asarray(fr_wire[i:i + chunk]),
-                    jnp.asarray(mk_bits[i:i + chunk]))
+                    self.params, fr_dev,
+                    put(jnp.asarray(mk_bits[i:i + chunk])))
                 lat_c.append(lat)
                 mlat_c.append(mlat)
                 if pf_wire is not None:
                     prior_c.append(enc_prior(
-                        self.params, jnp.asarray(pf_wire[i:i + chunk])))
+                        self.params, put(jnp.asarray(pf_wire[i:i + chunk]))))
                 elif pf01_p is not None:
                     prior_c.append(encode(
-                        self.params, pf01_p[i:i + chunk]))
+                        self.params, put(pf01_p[i:i + chunk])))
 
         # noise is a pure function of the GLOBAL frame index: overlapping
         # windows agree within a video, and overlapping CHUNKS agree
@@ -544,25 +572,6 @@ class DiffuEraser:
         assert T_out > 0, "return_latent_tail must leave frames to emit"
         prompt_emb = jnp.asarray(prompt_embeds) if prompt_embeds is not None \
             else self.params["null_text_emb"]
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from videovanish_tpu.core.mesh import DATA_AXIS
-            _bs = NamedSharding(self.mesh, P(DATA_AXIS))
-            _rep = NamedSharding(self.mesh, P())
-            _ndev = self.mesh.shape[DATA_AXIS]
-
-            def put(a):
-                # frame axis must tile evenly over "data"; pick clip_length
-                # as a multiple of the data-axis size for full SPMD —
-                # otherwise this window replicates (it must still live on
-                # the mesh's device set: params are mesh-replicated, and
-                # jit rejects inputs committed to different device sets)
-                if a.shape[0] % _ndev == 0:
-                    return jax.device_put(a, _bs)
-                return jax.device_put(a, _rep)
-        else:
-            def put(a):
-                return a
         # Stream the pipeline: as soon as a frame's last covering window
         # has been blended it is decoded and its device->host fetch starts
         # asynchronously, so the ~25 MB/s tunnel transfer of finished
@@ -589,6 +598,8 @@ class DiffuEraser:
                 z_c = jax.lax.dynamic_slice_in_dim(
                     acc, i, min(chunk, T)) / jax.lax.dynamic_slice_in_dim(
                         wsum, i, min(chunk, T))
+                z_c = put(z_c)
+                record_sharding("vae_decode", latents=z_c)
                 u8 = decode(self.params, z_c)
                 if roi is not None:
                     u8 = u8[:, roi[0]:roi[1], roi[2]:roi[3]]
@@ -626,9 +637,11 @@ class DiffuEraser:
         for wi, (s, L) in enumerate(plan):
             prog(10 + 70 * wi / max(1, len(plan)),
                  f"denoising window {wi + 1}/{len(plan)}")
+            w_prior = put(jax.lax.dynamic_slice_in_dim(prior_lat, s, L))
+            record_sharding("denoise_window", prior_lat=w_prior)
             z = denoise_window(
                 self.params,
-                put(jax.lax.dynamic_slice_in_dim(prior_lat, s, L)),
+                w_prior,
                 put(jax.lax.dynamic_slice_in_dim(masked_lat, s, L)),
                 put(jax.lax.dynamic_slice_in_dim(m_lat, s, L)),
                 put(jax.lax.dynamic_slice_in_dim(noise, s, L)),

@@ -129,15 +129,35 @@ class FlowCompBidirectionalPropagation(nn.Module):
 class RecurrentFlowCompleteNet(nn.Module):
     """forward(masked_flows (T,H,W,2), masks (T,H,W,1)) -> completed
     flow field (T,H,W,2). H, W multiples of 8. base=32 matches the
-    published checkpoint; tiny configs scale it down."""
+    published checkpoint; tiny configs scale it down.
+
+    mesh: optional ("data","model") Mesh for SPMD inference — the
+    encoder/mid/decoder convs partition over the frame axis (the
+    temporal (3,1,1) convs get XLA halo exchanges); only the
+    propagation recurrence is constrained replicated (inherently
+    sequential; every device runs it redundantly with zero per-step
+    communication). GSPMD pads uneven frame counts internally, so the
+    outputs are exact regardless of divisibility."""
     base: int = 32
     dtype: jnp.dtype = jnp.float32
+    mesh: object = None
+
+    def _wsc(self, x, *axes):
+        # skip during init: eager with_sharding_constraint acts like a
+        # device_put and rejects uneven axes; inside jit GSPMD pads them
+        if self.mesh is None or self.is_initializing():
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*axes)))
 
     @nn.compact
     def __call__(self, masked_flows, masks):
+        from videovanish_tpu.core.mesh import DATA_AXIS
         b1, b2, b4 = self.base, 2 * self.base, 4 * self.base
         x = jnp.concatenate([masked_flows.astype(self.dtype),
                              masks.astype(self.dtype)], axis=-1)[None]
+        x = self._wsc(x, None, DATA_AXIS)
         # stem: (1,5,5)/2 conv, replicate padding
         x = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2), (0, 0)),
                     mode="edge")
@@ -156,7 +176,8 @@ class RecurrentFlowCompleteNet(nn.Module):
                 name=f"mid_dilation_{2 * i}")(m))
 
         feat = FlowCompBidirectionalPropagation(
-            b4, self.dtype, name="feat_prop_module")(m[0])
+            b4, self.dtype, name="feat_prop_module")(self._wsc(m[0]))
+        feat = self._wsc(feat, DATA_AXIS)
 
         d2 = lrelu(nn.Conv(b4, (3, 3), padding=1, dtype=self.dtype,
                            name="decoder2_0")(feat))

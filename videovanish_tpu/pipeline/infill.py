@@ -113,7 +113,8 @@ def _get_models(ckpt: str):
     if propainter is None:
         try:
             from videovanish_tpu.models.propainter import Propainter
-            propainter = Propainter(config=cfg.propainter)
+            propainter = Propainter(config=cfg.propainter,
+                                    mesh=_get_mesh())
         except ImportError:
             propainter = None
     return video_inpainting_sd, propainter
@@ -180,7 +181,8 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
                          feather_px: int = 3, prog=None,
                          frame_offset: int = 0, latent_carry=None,
                          return_latent_tail: int = 0,
-                         dilated_masks=None, on_device_idle=None):
+                         dilated_masks=None, on_device_idle=None,
+                         preview: bool = False):
     """Remove the masked objects from frames_rgb.
 
     frames_rgb:  list of (H,W,3) RGB uint8
@@ -195,9 +197,17 @@ def run_infill_on_frames(frames_rgb, mask_frames, mask_dilation_iter: int = 8,
     on_device_idle: optional zero-arg callback fired when the device goes
     idle (all denoise outputs fetched, host postprocess still ahead) —
     the chunked driver uses it to dispatch the NEXT chunk's prior.
+    preview: interactive tier — caps the inference resolution at
+    config.diffueraser.preview_img_size (default 640 long side) so the
+    GUI's 22-frame preview stays interactive; the output is still
+    composited back at the original resolution.
     Returns list of (H,W,3) RGB uint8 (original resolution).
     """
     prog = prog or null_prog
+    if preview:
+        tier = _get_config().diffueraser.preview_img_size
+        if tier:
+            max_img_size = min(max_img_size, tier)
     frames = np.stack([np.asarray(f) for f in frames_rgb])
     T, H0, W0 = frames.shape[:3]
 

@@ -76,6 +76,33 @@ def record_stage(stage: str, seconds: float, **fields) -> None:
     _emit("stage", name=stage, seconds=round(seconds, 4), **fields)
 
 
+_SHARDING_TRACE: list | None = None
+
+
+def trace_shardings(into: list | None) -> None:
+    """Install (or clear, with None) a sink recording the ACTUAL input
+    shardings each device program receives at dispatch time. The SPMD
+    tests use this as ground truth that a mesh run really shards every
+    program's operands (jit specializes on input shardings, so the
+    recorded spec IS what the compiled HLO was partitioned for)."""
+    global _SHARDING_TRACE
+    _SHARDING_TRACE = into
+
+
+def record_sharding(program: str, **arrays) -> None:
+    """Record {name: partition-spec} of jax arrays entering `program`.
+    No-op (zero cost beyond a None check) unless trace_shardings is on."""
+    if _SHARDING_TRACE is None:
+        return
+    specs = {}
+    for name, a in arrays.items():
+        try:
+            specs[name] = tuple(a.sharding.spec)
+        except Exception:
+            specs[name] = None
+    _SHARDING_TRACE.append((program, specs))
+
+
 @contextlib.contextmanager
 def stage_timer(stage: str, **fields):
     """Time a pipeline stage; emits a structured record and annotates the
