@@ -30,13 +30,28 @@ from videovanish_tpu.core.convert import (
 # module tree relative to the HF one.
 HF_TO_FB = [
     # drops: HF-only tied/buffer keys
-    (r"^prompt_encoder\.mask_embed\.", None),
     (r"^shared_image_embedding\.", None),
-    (r"^no_memory_positional_encoding$", None),
     (r"^mask_downsample\.", None),
+    # prompt-encoder mask path: HF mask_embed module -> fb Sequential
+    # sam_prompt_encoder.mask_downscaling.{0,1,3,4,6} (conv, LN, conv,
+    # LN, conv — validated against the frozen production manifest)
+    (r"^prompt_encoder\.mask_embed\.conv1\.",
+     "sam_prompt_encoder.mask_downscaling.0."),
+    (r"^prompt_encoder\.mask_embed\.layer_norm1\.",
+     "sam_prompt_encoder.mask_downscaling.1."),
+    (r"^prompt_encoder\.mask_embed\.conv2\.",
+     "sam_prompt_encoder.mask_downscaling.3."),
+    (r"^prompt_encoder\.mask_embed\.layer_norm2\.",
+     "sam_prompt_encoder.mask_downscaling.4."),
+    (r"^prompt_encoder\.mask_embed\.conv3\.",
+     "sam_prompt_encoder.mask_downscaling.6."),
+    (r"^no_memory_positional_encoding$", "no_mem_pos_enc"),
     # component prefixes
     (r"^vision_encoder\.backbone\.", "image_encoder.trunk."),
     (r"^vision_encoder\.neck\.", "image_encoder.neck."),
+    # fb nests each FPN lateral conv one level deeper
+    (r"^image_encoder\.neck\.convs\.(\d+)\.",
+     r"image_encoder.neck.convs.\1.conv."),
     (r"^mask_decoder\.", "sam_mask_decoder."),
     (r"^prompt_encoder\.", "sam_prompt_encoder."),
     (r"^object_pointer_proj\.", "obj_ptr_proj."),
@@ -80,6 +95,7 @@ HF_TO_FB = [
     (r"memory_encoder\.feature_projection\.", "memory_encoder.pix_feat_proj."),
     (r"memory_encoder\.projection\.", "memory_encoder.out_proj."),
     (r"memory_fuser\.layers\.(\d+)\.", r"fuser.layers.\1."),
+    (r"(fuser\.layers\.\d+)\.scale$", r"\1.gamma"),
     (r"\.depthwise_conv\.", ".dwconv."),
     (r"\.pointwise_conv([12])\.", r".pwconv\1."),
     (r"(fuser\.layers\.\d+)\.layer_norm\.", r"\1.norm."),
@@ -195,3 +211,100 @@ class TestFbFormatConversion:
         tbl = merged["sam_prompt_encoder.point_embeddings"]
         assert tbl.shape == (4, 8)
         np.testing.assert_array_equal(tbl[:, 0], [0, 1, 2, 3])
+
+
+def _production_hf_meta_state():
+    """Key inventory (names + shapes) of the PRODUCTION-size HF
+    Sam2VideoModel (facebook/sam2.1-hiera-large architecture — the
+    reference's actual SAM2 artifact, sam2_masker.py:19-20), built on
+    the torch meta device so no weights are allocated."""
+    from transformers.models.sam2.configuration_sam2 import (
+        Sam2HieraDetConfig, Sam2VisionConfig,
+    )
+    from transformers.models.sam2_video.configuration_sam2_video import (
+        Sam2VideoConfig, Sam2VideoMaskDecoderConfig,
+        Sam2VideoPromptEncoderConfig,
+    )
+    from transformers.models.sam2_video.modeling_sam2_video import (
+        Sam2VideoModel,
+    )
+    bb = Sam2HieraDetConfig(
+        hidden_size=144, blocks_per_stage=[2, 6, 36, 4],
+        embed_dim_per_stage=[144, 288, 576, 1152],
+        num_attention_heads_per_stage=[2, 4, 8, 16],
+        window_size_per_stage=[8, 4, 16, 8],
+        global_attention_blocks=[23, 33, 43], image_size=[1024, 1024])
+    vis = Sam2VisionConfig(
+        backbone_config=bb, fpn_hidden_size=256,
+        backbone_channel_list=[1152, 576, 288, 144],
+        backbone_feature_sizes=[[256, 256], [128, 128], [64, 64]])
+    cfg = Sam2VideoConfig(
+        vision_config=vis,
+        prompt_encoder_config=Sam2VideoPromptEncoderConfig(
+            hidden_size=256, image_size=1024, patch_size=16),
+        mask_decoder_config=Sam2VideoMaskDecoderConfig(
+            hidden_size=256, mlp_dim=2048, iou_head_hidden_dim=256),
+        image_size=1024, num_maskmem=7, max_object_pointers_in_encoder=16,
+        memory_attention_hidden_size=256, memory_attention_num_layers=4,
+        memory_attention_feed_forward_hidden_size=2048,
+        memory_attention_rope_feat_sizes=[64, 64],
+        memory_encoder_hidden_size=256, memory_encoder_output_channels=64,
+        memory_fuser_embed_dim=256, memory_fuser_intermediate_dim=1024,
+        mask_downsampler_embed_dim=256)
+    with torch.device("meta"):
+        tm = Sam2VideoModel(cfg)
+    return {k: tuple(v.shape) for k, v in tm.state_dict().items()}
+
+
+class TestFbProductionShapes:
+    """VERDICT r3 #6: fb rules rehearsed at PRODUCTION shapes with
+    values — the tiny-model test above proves the mapping logic, the
+    manifest test (test_convert_manifests.py) proves shapes; this one
+    closes the remaining gap (a swapped pair of same-shape leaves or a
+    missed transpose passes both)."""
+
+    def test_fb_route_production_values_vs_hf_route(self):
+        import json
+        import os
+        import zlib
+
+        manifest_path = os.path.join(
+            os.path.dirname(__file__), "fixtures", "manifests",
+            "sam2_1_hiera_large_fb.json")
+        with open(manifest_path) as f:
+            fb_manifest = {k: tuple(v) for k, v in json.load(f).items()}
+
+        hf_shapes = _production_hf_meta_state()
+
+        def fill(key, shape):
+            # distinct, transpose-sensitive values per leaf: a ramp with
+            # a key-dependent offset, cheap enough for 224M params
+            n = int(np.prod(shape)) if shape else 1
+            off = zlib.crc32(key.encode()) % 9973
+            return ((np.arange(n, dtype=np.float32) % 251.0) + off) \
+                .reshape(shape)
+
+        hf_state = {k: fill(k, s) for k, s in hf_shapes.items()}
+        fb_state = hf_to_fb_state(hf_state)
+
+        # the synthesized fb layout must BE the published one: same key
+        # inventory, same shapes as the frozen manifest of the real
+        # sam2.1_hiera_large.pt
+        missing = set(fb_manifest) - set(fb_state)
+        extra = set(fb_state) - set(fb_manifest)
+        assert not missing, f"synth fb lacks real keys: {sorted(missing)[:8]}"
+        assert not extra, f"synth fb invents keys: {sorted(extra)[:8]}"
+        bad = [(k, fb_state[k].shape, fb_manifest[k])
+               for k in fb_manifest if tuple(fb_state[k].shape) != fb_manifest[k]]
+        assert not bad, f"synth fb shape mismatches: {bad[:8]}"
+
+        via_hf = convert_state_dict(hf_state, HF_SAM2_RULES, SAM2_SPECIALS)
+        via_fb = convert_state_dict(sam2_fb_preprocess(fb_state),
+                                    SAM2_RULES, SAM2_SPECIALS)
+        hf_leaves = dict(_leaves(via_hf))
+        fb_leaves = dict(_leaves(via_fb))
+        assert set(hf_leaves) == set(fb_leaves)
+        for path, hv in hf_leaves.items():
+            fv = fb_leaves[path]
+            assert hv.shape == fv.shape, (path, hv.shape, fv.shape)
+            np.testing.assert_array_equal(hv, fv, err_msg=str(path))
