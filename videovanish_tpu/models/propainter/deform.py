@@ -3,16 +3,19 @@ BasicVSR++-style second-order deformable alignment ProPainter uses in
 its propagation modules (reference consumes these through the vendored
 ProPainter package [external], diffuerase.py:49-57).
 
-TPU-native: all K taps of one offset group are gathered together as
-FULL-WIDTH rows (C on lanes) and the group's cg lanes sliced afterwards
-— narrow-lane gathers are the slow path on TPU (measured 2.5x: 24.7 ms
--> 9.8 ms per 60x108x128 alignment on v5e), because the gather unit
-moves whole 128-lane rows either way. Each group's (tap, cin) -> cout
-contraction then runs immediately on the MXU (fused per group: the
-(B, H, W, K, Cin) sample tensor never materializes in HBM; measured
-11.1 vs 13.9 ms/call). torchvision.ops.deform_conv2d layout conventions
-are kept: offset channels ordered (group, tap, [dy, dx]), zero padding
-outside.
+TPU-native: CORNER-PACKED gathers — a (H+1, W+1) table whose row (r, s)
+holds all 4 bilinear corners of base (r-1, s-1), lane-regrouped so one
+offset group's 4*cg lanes are contiguous. Each (group, tap) sample is
+then ONE narrow gather instead of four, and the bytes moved per tap
+drop from 4 full 128-lane rows to exactly the 4*cg lanes the group
+consumes (measured in a lax.scan at the 180x320x128 G=16 propagation
+shape on v5e: 128 -> 64 ms/call vs the previous full-width-row
+formulation; the 4x-lane pack WITHOUT the narrow slice only reached
+120 ms — the win is bytes, not instruction count). Each group's
+(tap, cin) -> cout contraction runs immediately on the MXU with f32
+accumulation, so the (B, H, W, K, Cin) sample tensor never hits HBM.
+torchvision.ops.deform_conv2d layout conventions are kept: offset
+channels ordered (group, tap, [dy, dx]), zero padding outside.
 """
 from __future__ import annotations
 
@@ -27,23 +30,33 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
     Cout); returns (B, H, W, Cout). Stride 1, dilation 1 (ProPainter's
     only configuration).
 
-    Venue (all variants measured in-context on v5e at the alignment
-    shape 60x108x128, G=16, chained under lax.scan): taps gather as
-    full-width rows via take_along_axis in the INPUT dtype (bf16 rows
-    11.1 ms/call vs 13.9 f32 — and x is bf16 on TPU anyway, so no extra
-    rounding), and each group's (tap, cin) -> cout contraction runs on
-    the MXU immediately with f32 accumulation, so the (B, H, W, K, Cin)
-    sample tensor never hits HBM. The x-pair (1,2,C) slice-gather
-    formulation that wins in isolated microbenchmarks LOSES here (28.1
-    ms/call, and its vmap-batched lax.gather scalarizes to per-sample
-    ops inside the propagation while-loop — measured 81% of a 720p
-    window's device time); see PROFILE_720p.md history."""
+    Venue (all variants measured in-context on v5e, chained under
+    lax.scan, at the 180x320x128 G=16 propagation shape): the
+    corner-packed narrow gather (one 4*cg-lane gather per (group, tap))
+    runs 64 ms/call vs 128 for the previous four-full-width-row
+    formulation and 120 for a corner pack without the narrow lane
+    slice — gather cost here is bytes moved, and today's path moves
+    exactly the lanes the group consumes. The x-pair (1,2,C)
+    slice-gather formulation that wins in isolated microbenchmarks
+    LOSES in-context (28.1 ms/call at 60x108, and its vmap-batched
+    lax.gather scalarizes to per-sample ops inside the propagation
+    while-loop — measured 81% of a 720p window's device time); see
+    PROFILE_720p.md history."""
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = kernel.shape
     K = kh * kw
     G = mask.shape[3]
     cg = Cin // G
-    flat = x.reshape(B, H * W, Cin)
+    # corner pack: P[:, r*(W+1)+s, g] = the 4 bilinear corners of base
+    # (y0, x0) = (r-1, s-1) for group g's cg lanes, in corner-major
+    # order [c00 | c01 | c10 | c11]. The pad ring supplies exact zeros
+    # for the +-1 border; anything farther out is masked below.
+    p = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    P = jnp.stack([p[:, :-1, :-1], p[:, :-1, 1:],
+                   p[:, 1:, :-1], p[:, 1:, 1:]], 3)  # (B, H+1, W+1, 4, C)
+    N = (H + 1) * (W + 1)
+    P = P.reshape(B, N, 4, G, cg).transpose(0, 1, 3, 2, 4) \
+        .reshape(B, N, G, 4 * cg)
     ks = jnp.arange(K)
     ky = (ks // kw - padding).astype(jnp.float32)
     kx = (ks % kw - padding).astype(jnp.float32)
@@ -58,24 +71,30 @@ def modulated_deform_conv2d(x, offset, mask, kernel, bias, padding: int = 1):
     wx = sx - x0
     kmat = kernel.reshape(K, Cin, Cout).astype(jnp.float32)
     out = jnp.zeros((B, H * W, Cout), jnp.float32)
+
+    def inb(yi, xi):
+        return ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+
     for g in range(G):
         y0g, x0g = y0[:, :, :, g, :], x0[:, :, :, g, :]  # (B, H, W, K)
+        r = jnp.clip(y0g + 1, 0, H).astype(jnp.int32)
+        s = jnp.clip(x0g + 1, 0, W).astype(jnp.int32)
+        idx = (r * (W + 1) + s).reshape(B, -1, 1)
+        rows = jnp.take_along_axis(P[:, :, g], idx, axis=1)  # (B,HWK,4cg)
+        c00 = rows[..., 0 * cg:1 * cg].astype(jnp.float32)
+        c01 = rows[..., 1 * cg:2 * cg].astype(jnp.float32)
+        c10 = rows[..., 2 * cg:3 * cg].astype(jnp.float32)
+        c11 = rows[..., 3 * cg:4 * cg].astype(jnp.float32)
         wyg = wy[:, :, :, g, :].reshape(B, -1, 1)
         wxg = wx[:, :, :, g, :].reshape(B, -1, 1)
-
-        def gather(yi, xi):
-            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-            yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-            xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-            idx = (yi * W + xi).reshape(B, -1, 1)
-            vals = jnp.take_along_axis(flat, idx, axis=1)
-            vals = vals[..., g * cg:(g + 1) * cg].astype(jnp.float32)
-            return jnp.where(inb.reshape(B, -1, 1), vals, 0.0)
-
-        v = ((1 - wyg) * (1 - wxg)) * gather(y0g, x0g) \
-            + ((1 - wyg) * wxg) * gather(y0g, x0g + 1) \
-            + (wyg * (1 - wxg)) * gather(y0g + 1, x0g) \
-            + (wyg * wxg) * gather(y0g + 1, x0g + 1)
+        m00 = inb(y0g, x0g).reshape(B, -1, 1)
+        m01 = inb(y0g, x0g + 1).reshape(B, -1, 1)
+        m10 = inb(y0g + 1, x0g).reshape(B, -1, 1)
+        m11 = inb(y0g + 1, x0g + 1).reshape(B, -1, 1)
+        v = ((1 - wyg) * (1 - wxg)) * jnp.where(m00, c00, 0.0) \
+            + ((1 - wyg) * wxg) * jnp.where(m01, c01, 0.0) \
+            + (wyg * (1 - wxg)) * jnp.where(m10, c10, 0.0) \
+            + (wyg * wxg) * jnp.where(m11, c11, 0.0)
         v = v.reshape(B, H * W, K, cg) \
             * mask[:, :, :, g, :].reshape(B, H * W, K, 1).astype(jnp.float32)
         out = out + jnp.einsum("bpkc,kco->bpo", v,
