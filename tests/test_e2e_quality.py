@@ -222,9 +222,15 @@ def ref_composite(inpainted_u8, original_u8, mask_bool, feather):
 
 
 def torch_reference_pipeline(tvae, tu, tb, frames, masks, prior, noise,
-                             null_emb):
+                             null_emb, clip=None, ov=None,
+                             enc_chunk: int = 0):
     """Full reference run: masked VAE encode -> windowed PCM denoise ->
-    blend -> decode -> feathered composite. All f32/f64 torch/numpy."""
+    blend -> decode -> feathered composite. All f32/f64 torch/numpy.
+    clip/ov default to the module's tiny geometry; enc_chunk>0 runs the
+    VAE in chunks of that many frames (memory control at production
+    geometry, where the mid-block attention matrix scales with T)."""
+    clip = CLIP if clip is None else clip
+    ov = OVERLAP if ov is None else ov
     acp = oracle_alphas_cumprod()
     steps = oracle_lcm_timesteps(2)
     m = (masks > 0)
@@ -233,10 +239,15 @@ def torch_reference_pipeline(tvae, tu, tb, frames, masks, prior, noise,
     prior01 = prior.astype(np.float32) / 255.0
 
     def enc(batch01):
-        with torch.no_grad():
-            z = tvae.encode(torch.from_numpy(
-                (batch01 * 2.0 - 1.0).transpose(0, 3, 1, 2).copy()))
-        return z.numpy() * SCALE  # (T, 4, h8, w8)
+        n = enc_chunk or batch01.shape[0]
+        outs = []
+        for i in range(0, batch01.shape[0], n):
+            with torch.no_grad():
+                z = tvae.encode(torch.from_numpy(
+                    (batch01[i:i + n] * 2.0 - 1.0)
+                    .transpose(0, 3, 1, 2).copy()))
+            outs.append(z.numpy() * SCALE)
+        return np.concatenate(outs)  # (T, 4, h8, w8)
 
     lat_masked = enc(masked01)
     lat_prior = enc(prior01)
@@ -246,7 +257,7 @@ def torch_reference_pipeline(tvae, tu, tb, frames, masks, prior, noise,
     Tn = frames.shape[0]
     acc = np.zeros_like(lat_prior, dtype=np.float64)
     wsum = np.zeros((Tn, 1, 1, 1), np.float64)
-    plan = ref_windows(Tn, CLIP, OVERLAP)
+    plan = ref_windows(Tn, clip, ov)
     for wi, (s, L) in enumerate(plan):
         x = np.sqrt(acp[steps[0]]) * lat_prior[s:s + L] \
             + np.sqrt(1.0 - acp[steps[0]]) \
@@ -264,7 +275,7 @@ def torch_reference_pipeline(tvae, tu, tb, frames, masks, prior, noise,
                          inject=inject, num_frames=L).numpy()
             t_next = steps[i + 1] if i + 1 < len(steps) else -1
             x = oracle_step(acp, x, eps, t_i, t_next)
-        bw = ref_blend_weights(L, OVERLAP, wi == 0, wi == len(plan) - 1)
+        bw = ref_blend_weights(L, ov, wi == 0, wi == len(plan) - 1)
         acc[s:s + L] += bw[:, None, None, None] * x
         wsum[s:s + L] += bw[:, None, None, None]
 
@@ -281,11 +292,13 @@ def torch_reference_pipeline(tvae, tu, tb, frames, masks, prior, noise,
 # ---------------------------------------------------------------------------
 def _tiny_dcfg(**kw):
     from videovanish_tpu.config import DiffuEraserConfig
-    return DiffuEraserConfig(
+    base = dict(
         max_img_size=H, clip_length=CLIP, clip_overlap=OVERLAP,
         block_out_channels=CH, layers_per_block=LAYERS,
         cross_attention_dim=CTX, attention_head_dim=HEADS,
-        vae_block_out_channels=VAE_CH, **kw)
+        vae_block_out_channels=VAE_CH)
+    base.update(kw)  # geometry overrides (production-geometry gate)
+    return DiffuEraserConfig(**base)
 
 
 @pytest.fixture(scope="module")
@@ -326,10 +339,11 @@ def converted_params(oracle_models):
     return params, null_emb
 
 
-def _noise_like_model(seed, t_frames):
+def _noise_like_model(seed, t_frames, h=None, w=None):
     base_key = jax.random.PRNGKey(seed)
+    h, w = (H if h is None else h), (W if w is None else w)
     return np.asarray(jax.vmap(lambda i: jax.random.normal(
-        jax.random.fold_in(base_key, i), (H // 8, W // 8, LATENT),
+        jax.random.fold_in(base_key, i), (h // 8, w // 8, LATENT),
         jnp.float32))(jnp.arange(t_frames)))
 
 
