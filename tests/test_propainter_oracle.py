@@ -174,6 +174,32 @@ class TestDeformableAlignment:
             jnp.asarray(weight.transpose(2, 3, 1, 0)), jnp.asarray(bias))
         np.testing.assert_allclose(from_jax(got), want, atol=1e-4)
 
+    def test_modulated_deform_conv_far_offsets(self, rng):
+        """Offsets scaled so most taps sample far outside the image —
+        the corner-packed gather clips into its (H+1, W+1) table and
+        must mask those corners to exact zeros like torchvision does."""
+        from videovanish_tpu.models.propainter.deform import (
+            modulated_deform_conv2d,
+        )
+        B, H, W, Cin, Cout, G = 1, 8, 9, 16, 8, 4
+        x = rng.standard_normal((B, Cin, H, W)).astype(np.float32)
+        offset = (rng.standard_normal((B, 2 * G * 9, H, W)) * 20).astype(
+            np.float32)
+        mask = rng.random((B, G * 9, H, W)).astype(np.float32)
+        weight = (rng.standard_normal((Cout, Cin, 3, 3)) * 0.1).astype(
+            np.float32)
+        bias = rng.standard_normal(Cout).astype(np.float32)
+        with torch.no_grad():
+            want = opp.modulated_deform_conv2d_ref(
+                *(torch.from_numpy(a) for a in
+                  (x, offset, mask, weight, bias))).numpy()
+        off_j = offset.transpose(0, 2, 3, 1).reshape(B, H, W, G, 9, 2)
+        got = modulated_deform_conv2d(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(off_j),
+            jnp.asarray(mask.transpose(0, 2, 3, 1).reshape(B, H, W, G, 9)),
+            jnp.asarray(weight.transpose(2, 3, 1, 0)), jnp.asarray(bias))
+        np.testing.assert_allclose(from_jax(got), want, atol=1e-4)
+
     def test_alignment_module_parity(self, rng):
         from videovanish_tpu.models.propainter.deform import (
             SecondOrderDeformableAlignment as JAlign,
