@@ -86,6 +86,37 @@ class TestImagePropagation:
                           ).tolist() == [[0.0, 1.0]]
 
 
+class TestFusedPropWarp:
+    @pytest.mark.parametrize("mode", ["nearest", "bilinear"])
+    def test_bitwise_vs_separate_warps(self, rng, mode):
+        """fused_prop_warp must equal the three separate flow_warp ops
+        BITWISE (the propagation re-binarizes at thresholds, so even ULP
+        drift could flip decisions). Flows include far-out-of-bounds
+        displacements and exact .5 fractions (round-half-even path)."""
+        from videovanish_tpu.ops.flow import (
+            flow_warp, flow_warp_mode, fused_prop_warp,
+        )
+        B, H, W, C = 2, 13, 17, 3
+        feat = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, 1)) > 0.5, jnp.float32)
+        chk = jnp.asarray(rng.standard_normal((B, H, W, 2)) * 3,
+                          jnp.float32)
+        flow = rng.standard_normal((B, H, W, 2)).astype(np.float32) * 4
+        flow[0, :3] = 100.0       # far OOB
+        flow[0, 3:5] = -37.0      # far OOB negative
+        flow[1, :2, :, :] = 0.5   # exact half fractions
+        flow[1, 2:4, :, :] = -0.5
+        flow = jnp.asarray(flow)
+
+        f_ref = flow_warp_mode(feat, flow, mode)
+        m_ref = flow_warp(mask, flow)
+        c_ref = flow_warp(chk, flow)
+        f_out, m_out, c_out = fused_prop_warp(feat, mask, chk, flow, mode)
+        np.testing.assert_array_equal(np.asarray(f_out), np.asarray(f_ref))
+        np.testing.assert_array_equal(np.asarray(m_out), np.asarray(m_ref))
+        np.testing.assert_array_equal(np.asarray(c_out), np.asarray(c_ref))
+
+
 class TestFlowCompletionDriver:
     def test_passthrough_outside_mask(self, rng):
         """forward_bidirect_flow: outside holes, the (unmasked) input

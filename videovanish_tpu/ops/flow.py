@@ -114,6 +114,83 @@ def local_corr(f1: jnp.ndarray, f2w: jnp.ndarray, radius: int = 4,
     return (jnp.stack(outs, axis=-1) * scale).astype(f1.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("feat_mode",))
+def fused_prop_warp(feat: jnp.ndarray, mask: jnp.ndarray,
+                    chk: jnp.ndarray, flow: jnp.ndarray,
+                    feat_mode: str = "nearest"):
+    """The image-propagation step's three backward-warps as ONE
+    corner-packed gather (the deform.py trick applied to the scan body):
+
+      feat (B,H,W,C)  warped by `flow` with `feat_mode` interpolation,
+      mask (B,H,W,1)  warped bilinear,
+      chk  (B,H,W,2)  warped bilinear (the fb-consistency operand),
+
+    all sampling at the same coords. Separately these are 9 narrow
+    gathers per scan step (4x 1-lane mask taps + 4x 2-lane flow taps +
+    1-3 feat taps) — gather cost on TPU is per-row overhead, so packing
+    every tap of every operand into one (H+1, W+1, 4*(C+3))-lane corner
+    table turns them into a single whole-row gather. Bitwise-equal to
+    flow_warp / flow_warp_mode composition (same weight products, same
+    accumulate order, same clip+in-bounds masking; verified in
+    tests/test_propainter.py::TestFusedPropWarp).
+
+    Returns (feat_warp, mask_warp, chk_warp), dtypes preserved.
+    """
+    B, H, W, C = feat.shape
+    f32 = jnp.float32
+    src = jnp.concatenate(
+        [mask.astype(f32), chk.astype(f32), feat.astype(f32)], -1)
+    Ct = C + 3
+    p = jnp.pad(src, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    P = jnp.stack([p[:, :-1, :-1], p[:, :-1, 1:],
+                   p[:, 1:, :-1], p[:, 1:, 1:]], 3)  # (B,H+1,W+1,4,Ct)
+    P = P.reshape(B, (H + 1) * (W + 1), 4 * Ct)
+
+    gy = jnp.arange(H, dtype=f32)[None, :, None]
+    gx = jnp.arange(W, dtype=f32)[None, None, :]
+    sx = gx + flow[..., 0].astype(f32)
+    sy = gy + flow[..., 1].astype(f32)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+
+    r = jnp.clip(y0 + 1, 0, H).astype(jnp.int32)
+    s = jnp.clip(x0 + 1, 0, W).astype(jnp.int32)
+    idx = (r * (W + 1) + s).reshape(B, -1, 1)
+    rows = jnp.take_along_axis(P, idx, axis=1)       # (B, HW, 4*Ct)
+
+    def inb(yi, xi):
+        return ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)) \
+            .reshape(B, H * W, 1)
+
+    m00, m01 = inb(y0, x0), inb(y0, x0 + 1)
+    m10, m11 = inb(y0 + 1, x0), inb(y0 + 1, x0 + 1)
+    c = [jnp.where(m, rows[..., i * Ct:(i + 1) * Ct], 0.0)
+         for i, m in enumerate((m00, m01, m10, m11))]
+
+    def combine(wyc, wxc):
+        w00 = ((1 - wyc) * (1 - wxc)).reshape(B, -1, 1)
+        w01 = ((1 - wyc) * wxc).reshape(B, -1, 1)
+        w10 = (wyc * (1 - wxc)).reshape(B, -1, 1)
+        w11 = (wyc * wxc).reshape(B, -1, 1)
+        return w00 * c[0] + w01 * c[1] + w10 * c[2] + w11 * c[3]
+
+    bl = combine(wy, wx).reshape(B, H, W, Ct)
+    mask_warp = bl[..., 0:1].astype(mask.dtype)
+    chk_warp = bl[..., 1:3].astype(chk.dtype)
+    if feat_mode == "bilinear":
+        feat_warp = bl[..., 3:].astype(feat.dtype)
+    else:  # nearest: 0/1 corner-select weights; round matches jnp.round
+        # (half-to-even) of the unfused path, and the selected corner's
+        # in-bounds mask is exactly inb(round(sy), round(sx))
+        wyn = jnp.round(sy) - y0
+        wxn = jnp.round(sx) - x0
+        feat_warp = combine(wyn, wxn).reshape(B, H, W, Ct)[..., 3:] \
+            .astype(feat.dtype)
+    return feat_warp, mask_warp, chk_warp
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def flow_warp_mode(img: jnp.ndarray, flow: jnp.ndarray,
                    mode: str = "bilinear") -> jnp.ndarray:
