@@ -48,6 +48,11 @@ def main():
     import jax
     import numpy as np
 
+    # persistent jit cache (as bench.py): SD-sized remote compiles take
+    # minutes; cached warmup makes repeat captures cheap
+    from videovanish_tpu.core.runtime import apply_compilation_cache
+    apply_compilation_cache()
+
     from videovanish_tpu.pipeline import infill
 
     frames = args.frames or infill._get_config().diffueraser.clip_length

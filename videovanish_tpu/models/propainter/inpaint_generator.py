@@ -140,17 +140,90 @@ def fold_t2t(x, out_hw):
     return out[:, PAD:PAD + H, PAD:PAD + W, :]
 
 
+# --- tap-major t2t: the TPU-fast layout ---------------------------------
+# torch's unfold/fold order the patch axis channel-major (c*49 + k): the
+# 49-tap axis lands in the LANE dimension interleaved with C, and every
+# per-tap slice becomes a lane shuffle (profiled at 10 GB/s — the
+# SoftComp fold alone was 11% of the window program). Tap-major order
+# (k*C + c) keeps C as pure lane tiles: per-tap slices/updates touch only
+# MAJOR axes. The embedding weights stay in the checkpoint's
+# channel-major layout; _PermutedDense reorders the (small) kernel at
+# apply time instead of relayouting the (large) activations.
+
+def tapmajor_perm(C: int) -> np.ndarray:
+    """perm[k*C + c] = c*49 + k: gather rows/cols of a channel-major
+    weight into tap-major order."""
+    K = KERNEL * KERNEL
+    return (np.arange(C)[None, :] * K
+            + np.arange(K)[:, None]).reshape(-1)
+
+
+def unfold_t2t_tapmajor(x):
+    """(B, H, W, C) -> (B, L, 49*C), tap-major (tap outer, channel inner)."""
+    B, H, W, C = x.shape
+    fh, fw = t2t_hw(H, W)
+    xp = jnp.pad(x, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
+    cols = [xp[:, ky:ky + STRIDE * fh:STRIDE, kx:kx + STRIDE * fw:STRIDE, :]
+            for ky in range(KERNEL) for kx in range(KERNEL)]
+    p = jnp.stack(cols, axis=3)               # (B, fh, fw, K, C)
+    return p.reshape(B, fh * fw, KERNEL * KERNEL * C)
+
+
+def fold_t2t_tapmajor(x, out_hw):
+    """(B, L, 49*C) tap-major -> (B, H, W, C) overlap scatter-add."""
+    B, L, KC = x.shape
+    K = KERNEL * KERNEL
+    C = KC // K
+    H, W = out_hw
+    fh, fw = t2t_hw(H, W)
+    p = x.reshape(B, fh, fw, K, C)
+    out = jnp.zeros((B, H + 2 * PAD, W + 2 * PAD, C), x.dtype)
+    for ky in range(KERNEL):
+        for kx in range(KERNEL):
+            out = out.at[:, ky:ky + STRIDE * fh:STRIDE,
+                         kx:kx + STRIDE * fw:STRIDE, :].add(
+                p[:, :, :, ky * KERNEL + kx, :])
+    return out[:, PAD:PAD + H, PAD:PAD + W, :]
+
+
+class _PermutedDense(nn.Module):
+    """nn.Dense with the canonical checkpoint-layout kernel, contracted
+    against tap-major activations by permuting the (small) kernel at
+    apply time: perm_in reorders kernel rows (input axis is tap-major),
+    perm_out reorders kernel columns + bias (output comes out tap-major).
+    Param tree (name/kernel, name/bias) is identical to nn.Dense."""
+    features: int
+    perm_in: tuple = None
+    perm_out: tuple = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        if self.perm_in is not None:
+            kernel = kernel[np.asarray(self.perm_in)]
+        if self.perm_out is not None:
+            kernel = kernel[:, np.asarray(self.perm_out)]
+            bias = bias[np.asarray(self.perm_out)]
+        return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class SoftSplit(nn.Module):
     hidden: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        # x: (T, H, W, C) -> (T, fh, fw, hidden)
+        # x: (T, H, W, C) -> (T, fh, fw, hidden); tap-major unfold + a
+        # row-permuted kernel == torch unfold + canonical kernel
         T, H, W, C = x.shape
-        feat = unfold_t2t(x)
-        feat = nn.Dense(self.hidden, dtype=self.dtype,
-                        name="embedding")(feat)
+        feat = unfold_t2t_tapmajor(x)
+        feat = _PermutedDense(self.hidden,
+                              perm_in=tuple(tapmajor_perm(C)),
+                              dtype=self.dtype, name="embedding")(feat)
         fh, fw = t2t_hw(H, W)
         return feat.reshape(T, fh, fw, self.hidden)
 
@@ -161,11 +234,15 @@ class SoftComp(nn.Module):
 
     @nn.compact
     def __call__(self, x, out_hw):
-        # x: (T, fh, fw, hidden) -> (T, H, W, channel)
+        # x: (T, fh, fw, hidden) -> (T, H, W, channel); the embedding
+        # emits tap-major patches (column-permuted kernel), folded by the
+        # lane-friendly tap-major fold
         T = x.shape[0]
-        feat = nn.Dense(self.channel * KERNEL * KERNEL, dtype=self.dtype,
-                        name="embedding")(x.reshape(T, -1, x.shape[-1]))
-        feat = fold_t2t(feat, out_hw)
+        feat = _PermutedDense(self.channel * KERNEL * KERNEL,
+                              perm_out=tuple(tapmajor_perm(self.channel)),
+                              dtype=self.dtype, name="embedding")(
+            x.reshape(T, -1, x.shape[-1]))
+        feat = fold_t2t_tapmajor(feat, out_hw)
         return nn.Conv(self.channel, (3, 3), padding=1, dtype=self.dtype,
                        name="bias_conv")(feat)
 
@@ -288,17 +365,56 @@ class FusionFeedForward(nn.Module):
     def __call__(self, x, out_hw):
         # x: (T, fh, fw, C)
         T, fh, fw, C = x.shape
-        h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1_0")(
+        K = KERNEL * KERNEL
+        kc = self.hidden // K  # 1960 = 40 * 49
+        H, W = out_hw
+        # fc1 emits tap-major (column-permuted kernel; torch-equivalent
+        # terms), and the fold/unfold round trip runs with T*kc on the
+        # LANE axis: kc alone (40) would waste 2/3 of every 128-lane
+        # tile, and channel-major (the torch layout) interleaves the tap
+        # axis into lanes where every per-tap slice is a 10 GB/s lane
+        # shuffle (profiled; see fold_t2t_tapmajor). The fold's spatial
+        # scatter is independent of T and channel, so T rides the lane
+        # axis for free: 640 lanes = 5 exact tiles.
+        h = _PermutedDense(self.hidden,
+                           perm_out=tuple(tapmajor_perm(kc)),
+                           dtype=self.dtype, name="fc1_0")(
             x.reshape(T, fh * fw, C))
-        # fold the 1960 = 40*49 hidden dim over the token grid, normalize
-        # by overlap counts, unfold back (published t2t fusion)
-        folded = fold_t2t(h, out_hw)
-        ones = jnp.ones((1, fh * fw, self.hidden), h.dtype)
-        norm = fold_t2t(ones, out_hw)
-        h = unfold_t2t(folded / norm)
+        # 2D PHASE-DECOMPOSED fold/unfold: grid cell (ry, rx, gy, gx) is
+        # padded-grid pixel (3*gy + ry, 3*gx + rx), so every stride-3 tap
+        # slice becomes a CONTIGUOUS block slice (stride-3 along the
+        # sublane axis ran at ~12 GB/s); taps ride the MAJOR axis (a
+        # single-sublane tap slice wastes 7/8 of every (8,128) tile).
+        p = h.reshape(T, fh, fw, K, kc).transpose(3, 1, 2, 0, 4) \
+            .reshape(K, fh, fw, T * kc)
+        GH, GW = fh + 2, fw + 2   # gy in [ky//3, ky//3+fh), ky//3 <= 2
+        out = jnp.zeros((3, 3, GH, GW, T * kc), h.dtype)
+        cnt = jnp.zeros((3, 3, GH, GW, 1), h.dtype)
+        one = jnp.ones((fh, fw, 1), h.dtype)
+        for ky in range(KERNEL):
+            for kx in range(KERNEL):
+                at = (ky % 3, kx % 3, slice(ky // 3, ky // 3 + fh),
+                      slice(kx // 3, kx // 3 + fw))
+                out = out.at[at].add(p[ky * KERNEL + kx])
+                cnt = cnt.at[at].add(one)
+        # interior mask (pixel inside the (H, W) crop) as a compile-time
+        # constant; outside cells are zeroed exactly like the reference's
+        # crop -> re-pad-with-zeros round trip
+        row = 3 * np.arange(GH)[None, :] + np.arange(3)[:, None]  # (3,GH)
+        col = 3 * np.arange(GW)[None, :] + np.arange(3)[:, None]
+        m = ((row >= PAD) & (row < PAD + H))[:, None, :, None] \
+            & ((col >= PAD) & (col < PAD + W))[None, :, None, :]
+        mask = jnp.asarray(m[..., None])             # (3, 3, GH, GW, 1)
+        g = jnp.where(mask, out / jnp.maximum(cnt, 1), 0)
+        u = jnp.stack(
+            [g[ky % 3, kx % 3, ky // 3:ky // 3 + fh, kx // 3:kx // 3 + fw]
+             for ky in range(KERNEL) for kx in range(KERNEL)], axis=0)
+        h = u.reshape(K, fh, fw, T, kc).transpose(3, 1, 2, 0, 4) \
+            .reshape(T, fh * fw, K * kc)
         h = nn.gelu(h.astype(jnp.float32), approximate=False) \
             .astype(self.dtype)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="fc2_1")(h)
+        h = _PermutedDense(self.dim, perm_in=tuple(tapmajor_perm(kc)),
+                           dtype=self.dtype, name="fc2_1")(h)
         return h.reshape(T, fh, fw, self.dim)
 
 
