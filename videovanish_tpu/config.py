@@ -218,3 +218,49 @@ def tiny_config() -> VVConfig:
         ),
         chunking=ChunkingConfig(chunk_frames=8, overlap_frames=2),
     )
+
+
+def dryrun_config() -> VVConfig:
+    """Minimal config for the driver's n-device CPU dryrun
+    (__graft_entry__.dryrun_multichip): the same program structure as
+    tiny_config but every knob at its floor so one full
+    run_infill_on_frames pass on a 1-core host takes seconds-to-a-couple
+    of minutes, not the ~9 min of the tiny-config SPMD test
+    (tests/conftest.py SLOW_TESTS). 64x64 frames is the floor — the VAE
+    downsamples 8x and the UNet halves 3 more times, so the latent must
+    be divisible by 8."""
+    return VVConfig(
+        diffueraser=DiffuEraserConfig(
+            max_img_size=64,
+            # already a multiple of the dryrun's 8-device data axis:
+            # the mesh path rounds clip_length up to the axis size
+            # (pipeline/infill._get_models), and a plan that differs
+            # from the single-device golden's would blend differently
+            clip_length=8,
+            clip_overlap=2,
+            block_out_channels=(16, 32, 32, 32),
+            layers_per_block=1,
+            cross_attention_dim=32,
+            attention_head_dim=8,
+            vae_block_out_channels=(8, 16, 16, 16),
+        ),
+        propainter=ProPainterConfig(
+            max_img_size=64, raft_iters=1, channels=16, hidden=64,
+            depths=1, ffn_channels=2, flowcomp_base=8, num_heads=2,
+            neighbor_length=2, ref_stride=4, subvideo_length=8,
+        ),
+        sam2=Sam2Config(
+            image_size=64,
+            hiera_embed_dim=32,
+            hiera_stages=(1, 1, 1, 1),
+            hiera_window_spec=(4, 4, 4, 4),
+            hiera_global_att_blocks=(2,),
+            backbone_channel_list=(256, 128, 64, 32),
+            neck_d_model=32,
+            mem_dim=16,
+            memory_attention_layers=1,
+            memory_attention_d_model=64,
+            max_obj_ptrs_in_encoder=4,
+        ),
+        chunking=ChunkingConfig(chunk_frames=8, overlap_frames=2),
+    )
