@@ -29,30 +29,40 @@ import time
 
 import numpy as np
 
-REPEATS = 3  # best-of: the host link swings ~2x minute to minute
+REPEATS = 2  # best-of: the host link swings ~2x minute to minute
 
 # The axon tunnel has two failure modes: jax errors (UNAVAILABLE — handled
 # by _tpu_recovered retries) and silent HANGS where device queries block
 # forever. A hung jax call can't be interrupted in-thread, so a watchdog
-# thread guarantees the driver always gets a JSON line: if the primary
-# metric hasn't been emitted after PRIMARY_BUDGET_S (first 720p compile
-# takes ~5-10 min through the remote-compile path, so this is generous),
-# print an error metric and hard-exit; once the primary is out, allow
-# SECONDARY_BUDGET_S more for the remaining legs, then exit 0.
+# thread guarantees the driver always gets a JSON line AND that we exit 0
+# before the driver's own kill lands (round 4 was rc=124 with half the
+# legs lost, VERDICT r4 item 2): if the primary metric hasn't been
+# emitted after PRIMARY_BUDGET_S (first 720p compile takes ~5-10 min
+# through the remote-compile path; warm cache makes it seconds), print an
+# error metric and hard-exit; after that, self-exit 0 at the TOTAL
+# deadline no matter which secondary leg is in flight. Secondary legs are
+# ordered cheapest-first and the expensive MFU leg checks the remaining
+# budget before starting.
 PRIMARY_BUDGET_S = int(os.environ.get("VV_BENCH_PRIMARY_BUDGET_S",
-                                      45 * 60))
-SECONDARY_BUDGET_S = int(os.environ.get("VV_BENCH_SECONDARY_BUDGET_S",
-                                        20 * 60))
+                                      35 * 60))
+TOTAL_BUDGET_S = int(os.environ.get("VV_BENCH_TOTAL_BUDGET_S", 50 * 60))
+_t0 = time.monotonic()
 _primary_emitted = threading.Event()
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _t0
 
 
 def _watchdog():
     if not _primary_emitted.wait(PRIMARY_BUDGET_S):
-        emit("vanish_frames_per_sec", 0.0, vs=0.0,
+        emit("vanish_frames_per_sec_720p_1chip", 0.0, vs=0.0,
              error=f"watchdog: no primary metric after "
                    f"{PRIMARY_BUDGET_S}s (TPU tunnel hung)")
         os._exit(1)
-    time.sleep(SECONDARY_BUDGET_S)
+    time.sleep(max(TOTAL_BUDGET_S - _elapsed(), 1.0))
+    print(f"[bench] total deadline {TOTAL_BUDGET_S}s reached; exiting 0 "
+          "with the legs emitted so far", file=sys.stderr)
     os._exit(0)  # primary metric is recorded; don't hang on secondaries
 
 
@@ -308,11 +318,29 @@ def main():
         if done:
             break
     if not done:
-        emit("vanish_frames_per_sec", 0.0, vs=0.0,
+        emit("vanish_frames_per_sec_720p_1chip", 0.0, vs=0.0,
              error=f"{type(last_err).__name__}: {last_err}")
         _primary_emitted.set()
         return 1
 
+    # secondary legs, cheapest first (VERDICT r4 item 2: round 4 lost
+    # previews/MFU/link to the driver's kill because the order put the
+    # expensive legs in the middle)
+    try:
+        up, down = probe_link()  # seconds
+        emit("host_link_MBps", down, vs=0.0, unit="MB/s", up_MBps=up)
+    except Exception as e:
+        print(f"[bench] link probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        # interactive envelope (BASELINE config 5): GUI preview latencies
+        mask_s, infill_s = bench_previews()
+        emit("mask_preview_latency_720p", mask_s, vs=0.0, unit="seconds")
+        emit("infill_preview_latency_720p", infill_s, vs=0.0,
+             unit="seconds")
+    except Exception as e:
+        print(f"[bench] preview leg failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     for attempt in range(2):
         try:
             sam2_fps, sam2_split = bench_sam2()
@@ -325,15 +353,10 @@ def main():
             if attempt == 0 and _tpu_recovered(e):
                 continue
             break
-    try:
-        # interactive envelope (BASELINE config 5): GUI preview latencies
-        mask_s, infill_s = bench_previews()
-        emit("mask_preview_latency_720p", mask_s, vs=0.0, unit="seconds")
-        emit("infill_preview_latency_720p", infill_s, vs=0.0,
-             unit="seconds")
-    except Exception as e:
-        print(f"[bench] preview leg failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+    if _elapsed() > 0.75 * TOTAL_BUDGET_S:
+        print(f"[bench] skipping MFU leg: {_elapsed():.0f}s elapsed of "
+              f"{TOTAL_BUDGET_S}s budget", file=sys.stderr)
+        return 0
     try:
         # per-program MFU + v5p-8 projection (VERDICT r3 item 8). The
         # device-limited projection models the measured device split
@@ -349,12 +372,6 @@ def main():
     except Exception as e:
         print(f"[bench] mfu/projection leg failed: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
-    try:
-        up, down = probe_link()
-        emit("host_link_MBps", down, vs=0.0, unit="MB/s", up_MBps=up)
-    except Exception as e:
-        print(f"[bench] link probe failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
     return 0
 
 
