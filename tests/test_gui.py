@@ -109,6 +109,21 @@ class TestSyncLogic:
             order.insert(chip_insert_pos(order, f), f)
         assert order == [5, 10, 20, 30, 40]
 
+    def test_toolbar_volume_mapping(self):
+        """Toolbar slider -> QAudioOutput volume, reference
+        videovanish.py:850 (linear /100, clipped) with the :1622
+        default of 90."""
+        from videovanish_tpu.gui.sync_logic import (
+            VOLUME_SLIDER_DEFAULT, volume_from_slider,
+        )
+        assert VOLUME_SLIDER_DEFAULT == 90
+        assert volume_from_slider(0) == 0.0
+        assert volume_from_slider(50) == 0.5
+        assert volume_from_slider(100) == 1.0
+        assert volume_from_slider(-5) == 0.0    # clipped like the reference
+        assert volume_from_slider(150) == 1.0
+        assert volume_from_slider(VOLUME_SLIDER_DEFAULT) == 0.9
+
 
 def test_videovanish_cli_degrades_without_pyside(tmp_path):
     if HAS_PYSIDE:

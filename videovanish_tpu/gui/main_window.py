@@ -43,6 +43,7 @@ class MainWindow(QMainWindow):
 
         self._wire()
         self._build_menus()
+        self._build_toolbar()
 
         if color_video:
             self.load_color_video(color_video)
@@ -83,6 +84,35 @@ class MainWindow(QMainWindow):
         m.addAction("Load Annotations…", self.load_annotations)
         m.addSeparator()
         m.addAction("Quit", self.close)
+
+    def _build_toolbar(self):
+        """Main toolbar: open / play-pause / stop actions + volume
+        slider into the master QAudioOutput (reference
+        videovanish.py:1617-1624)."""
+        from PySide6.QtCore import QSize
+        from PySide6.QtWidgets import QLabel, QSlider, QStyle, QToolBar
+
+        from videovanish_tpu.gui.sync_logic import VOLUME_SLIDER_DEFAULT
+
+        tb = QToolBar("Main", self)
+        tb.setIconSize(QSize(18, 18))
+        self.addToolBar(Qt.TopToolBarArea, tb)
+        style = self.style()
+        tb.addAction(style.standardIcon(QStyle.SP_DirOpenIcon),
+                     "Open Color Video…", self.open_color_dialog)
+        tb.addAction(style.standardIcon(QStyle.SP_MediaPlay),
+                     "Play/Pause (Space)", self.player.toggle_play)
+        tb.addAction(style.standardIcon(QStyle.SP_MediaStop),
+                     "Stop", self.player.stop)
+        tb.addSeparator()
+        tb.addWidget(QLabel("Vol", self))
+        vol = QSlider(Qt.Horizontal, self)
+        vol.setRange(0, 100)
+        vol.setValue(VOLUME_SLIDER_DEFAULT)
+        vol.setFixedWidth(120)
+        vol.valueChanged.connect(self.player.set_volume)
+        tb.addWidget(vol)
+        self.volume_slider = vol
 
     # ------------------------------------------------------------------
     # file loading

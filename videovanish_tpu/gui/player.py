@@ -30,7 +30,7 @@ from videovanish_tpu.gui.view import VideoView
 from videovanish_tpu.gui.sync_logic import (  # noqa: F401 (re-exports)
     RESYNC_DRIFT_MS, RESYNC_INTERVAL_MS, chip_insert_pos,
     followers_to_resync, frame_count, frame_to_ms, master_frame_ms,
-    ms_to_frame, preview_frame_index,
+    ms_to_frame, preview_frame_index, volume_from_slider,
 )
 
 
@@ -201,6 +201,16 @@ class VideoPlayer(QWidget):
             self.pause()
         else:
             self.play()
+
+    def stop(self):
+        """Toolbar Stop: pause and rewind (reference videovanish.py:823)."""
+        self.pause()
+        self.seek_to_frame(0)
+
+    def set_volume(self, value: int):
+        """Toolbar volume slider 0-100 -> master audio output
+        (reference videovanish.py:850)."""
+        self.audio.setVolume(volume_from_slider(value))
 
     def seek_to_frame(self, frame_idx: int):
         if self.fps is None:

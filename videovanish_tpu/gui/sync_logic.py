@@ -61,3 +61,12 @@ def chip_insert_pos(existing_frames, frame_idx: int) -> int:
     """Insertion position that keeps keyframe chips sorted by frame index
     (reference videovanish.py:982-1088)."""
     return sum(1 for f in existing_frames if f < frame_idx)
+
+
+VOLUME_SLIDER_DEFAULT = 90  # reference toolbar default (videovanish.py:1622)
+
+
+def volume_from_slider(value: int) -> float:
+    """Toolbar volume slider (0-100 int) -> QAudioOutput.setVolume
+    (0.0-1.0 linear), clipped like the reference (videovanish.py:850)."""
+    return max(0.0, min(1.0, value / 100.0))
