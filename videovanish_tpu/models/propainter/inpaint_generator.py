@@ -110,36 +110,6 @@ def t2t_hw(h, w):
     return fh, fw
 
 
-def unfold_t2t(x):
-    """(B, H, W, C) -> (B, L, C*49), torch unfold channel-major order."""
-    B, H, W, C = x.shape
-    fh, fw = t2t_hw(H, W)
-    xp = jnp.pad(x, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
-    cols = [xp[:, ky:ky + STRIDE * fh:STRIDE, kx:kx + STRIDE * fw:STRIDE, :]
-            for ky in range(KERNEL) for kx in range(KERNEL)]
-    p = jnp.stack(cols, axis=3)               # (B, fh, fw, K, C)
-    p = p.transpose(0, 1, 2, 4, 3)            # (B, fh, fw, C, K)
-    return p.reshape(B, fh * fw, C * KERNEL * KERNEL)
-
-
-def fold_t2t(x, out_hw):
-    """(B, L, C*49) -> (B, H, W, C): scatter-add overlapping patches
-    (torch F.fold)."""
-    B, L, CK = x.shape
-    K = KERNEL * KERNEL
-    C = CK // K
-    H, W = out_hw
-    fh, fw = t2t_hw(H, W)
-    p = x.reshape(B, fh, fw, C, K)
-    out = jnp.zeros((B, H + 2 * PAD, W + 2 * PAD, C), x.dtype)
-    for ky in range(KERNEL):
-        for kx in range(KERNEL):
-            out = out.at[:, ky:ky + STRIDE * fh:STRIDE,
-                         kx:kx + STRIDE * fw:STRIDE, :].add(
-                p[..., ky * KERNEL + kx])
-    return out[:, PAD:PAD + H, PAD:PAD + W, :]
-
-
 # --- tap-major t2t: the TPU-fast layout ---------------------------------
 # torch's unfold/fold order the patch axis channel-major (c*49 + k): the
 # 49-tap axis lands in the LANE dimension interleaved with C, and every
@@ -149,6 +119,10 @@ def fold_t2t(x, out_hw):
 # MAJOR axes. The embedding weights stay in the checkpoint's
 # channel-major layout; _PermutedDense reorders the (small) kernel at
 # apply time instead of relayouting the (large) activations.
+# (The channel-major reference layout — torch's own unfold/fold order —
+# lives only in the oracle: tests/test_propainter_oracle.py exercises
+# this tap-major path against torch F.unfold/F.fold directly, so no
+# channel-major jax twin is kept here to drift.)
 
 def tapmajor_perm(C: int) -> np.ndarray:
     """perm[k*C + c] = c*49 + k: gather rows/cols of a channel-major

@@ -134,6 +134,11 @@ def fused_prop_warp(feat: jnp.ndarray, mask: jnp.ndarray,
     accumulate order, same clip+in-bounds masking; verified in
     tests/test_propainter.py::TestFusedPropWarp).
 
+    Assumes FINITE inputs: nearest mode is a weighted sum with exact 0/1
+    corner weights, so an inf/NaN in a zero-weighted corner would yield
+    0*inf=NaN where the unfused gather would not. Propagation's operands
+    are bounded image/mask/flow content, so this holds by construction.
+
     Returns (feat_warp, mask_warp, chk_warp), dtypes preserved.
     """
     B, H, W, C = feat.shape
