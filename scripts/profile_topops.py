@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default=None,
                     help="keep the raw trace here (default: tempdir)")
+    ap.add_argument("--program", default=None,
+                    help="also print an intra-program module x category "
+                         "breakdown for this jit program "
+                         "(e.g. denoise_window)")
     args = ap.parse_args()
 
     if os.environ.get("VV_PLATFORM"):
@@ -120,6 +124,19 @@ def main():
     print()
     print(f"8-chip projection (sharding model in utils/profiling.py): "
           f"{json.dumps(proj)}")
+
+    if args.program:
+        from videovanish_tpu.utils.profiling import breakdown_program
+        groups = breakdown_program(dev, args.program, peak_tf=peak)
+        print()
+        print(f"## Inside `jit({args.program})` — by module x op category")
+        print()
+        print("| module | category | ms | % of program | MFU | occ |")
+        print("|---|---|---|---|---|---|")
+        for g in groups:
+            print(f"| {g['module']} | {g['category']} | {g['ms']:.0f} "
+                  f"| {100 * g['share']:.1f}% | {100 * g['mfu']:.1f}% "
+                  f"| {g['occ']} |")
 
 
 if __name__ == "__main__":

@@ -115,6 +115,70 @@ def aggregate_programs(rows: list[dict],
     return out
 
 
+_CATEGORY_BY_TYPE = {
+    "pallas_call": "attention-kernel",
+    "conv_general_dilated": "conv",
+    "dot_general": "matmul",
+    "gather": "gather",
+    "scatter": "gather",
+    "dynamic_slice": "gather",
+    "dynamic_update_slice": "gather",
+    "reshape": "layout",
+    "transpose": "layout",
+    "copy": "layout",
+    "bitcast": "layout",
+    "slice": "layout",
+    "concatenate": "layout",
+    "pad": "layout",
+    "reduce": "reduction",
+    "reduce_window": "reduction",
+    "all_reduce": "collective",
+    "all_gather": "collective",
+    "collective_permute": "collective",
+    "fusion": "fusion",
+}
+
+
+def breakdown_program(rows: list[dict], program: str,
+                      peak_tf: float | None = None,
+                      by_module: bool = True) -> list[dict]:
+    """Intra-program attribution (VERDICT r4 item 2): ops inside
+    `jit(program)` grouped by (module, op-category) with self-time and
+    MFU per group, sorted by time. `module` is the first scope segment
+    after the jit wrapper (e.g. UNetCondition / BrushNetModel /
+    consistency_step), so a blended low-MFU program can be split into
+    its attention / conv / elementwise constituents."""
+    peak = (peak_tf if peak_tf is not None else peak_tflops()) * 1e12
+    agg: dict[tuple, dict] = {}
+    for r in rows:
+        name = str(r.get("operation", "?"))
+        if program_of(name) != program:
+            continue
+        parts = name.split("/")
+        module = parts[1].split(".")[0] if by_module and len(parts) > 1 \
+            else ""
+        cat = _CATEGORY_BY_TYPE.get(str(r.get("type", "")), "elementwise")
+        us = float(r.get("total_self_time", 0) or 0)
+        rate = float(r.get("measured_flop_rate", 0) or 0)
+        d = agg.setdefault((module, cat),
+                           {"us": 0.0, "flops": 0.0, "occ": 0})
+        d["us"] += us
+        d["flops"] += rate * 1e9 * us * 1e-6
+        d["occ"] += int(float(r.get("occurrences", 1) or 1))
+    total_us = sum(d["us"] for d in agg.values()) or 1.0
+    out = []
+    for (module, cat), d in sorted(agg.items(), key=lambda kv: -kv[1]["us"]):
+        out.append({
+            "module": module, "category": cat,
+            "ms": round(d["us"] / 1e3, 1),
+            "share": round(d["us"] / total_us, 4),
+            "mfu": round(d["flops"] / (d["us"] * 1e-6 * peak), 4)
+            if d["us"] else 0.0,
+            "occ": d["occ"],
+        })
+    return out
+
+
 def window_batch_speedup(n_windows: int, n_chips: int,
                          n_groups: int = 2) -> float:
     """Window-parallel speedup of the InpaintGenerator leg: windows
