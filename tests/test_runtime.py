@@ -54,6 +54,30 @@ def test_jit_cache_opt_out_and_forced_dir(tmp_path):
     assert d.is_dir()
 
 
+def test_jit_cache_enabled_for_tpu_primary_platform():
+    """This image's sitecustomize sets jax_platforms to "axon,cpu" (cpu
+    as FALLBACK only). The cache decision must key on the PRIMARY
+    platform — a substring test disabled the cache for every TPU
+    process, so the driver's bench recompiled SD-sized programs
+    (~minutes each) every round (round-5 find). The probe must also not
+    initialize any backend (no TPU attach from a config check)."""
+    code = """
+import jax
+# simulate the sitecustomize platform pin without touching a backend
+jax.config.update("jax_platforms", "axon,cpu")
+from videovanish_tpu.core.runtime import apply_compilation_cache
+apply_compilation_cache()
+import jax._src.xla_bridge as xb
+print("initialized=" + str(xb.backends_are_initialized()))
+print("cachedir=" + repr(jax.config.jax_compilation_cache_dir))
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "initialized=False" in r.stdout, r.stdout
+    assert "cachedir=None" not in r.stdout, r.stdout
+    assert "videovanish_tpu" in r.stdout, r.stdout
+
+
 def test_debug_nans_flag():
     code = """
 from videovanish_tpu.core.runtime import apply_env_platform

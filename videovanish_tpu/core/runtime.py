@@ -39,7 +39,13 @@ def apply_compilation_cache() -> None:
             else:
                 plats = jax.config.jax_platforms \
                     or os.environ.get("VV_PLATFORM", "")
-                if "cpu" in str(plats):
+                # the PRIMARY platform decides the backend; this host's
+                # sitecustomize sets "axon,cpu" (cpu as fallback only),
+                # and a substring test wrongly disabled the cache for
+                # every TPU process — the driver's bench then recompiled
+                # SD-sized programs (~minutes each) every round
+                primary = str(plats).split(",")[0].strip()
+                if primary == "cpu":
                     return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
