@@ -115,44 +115,59 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, context=None, t_frames: Optional[int] = None):
         if t_frames is not None:
-            # Temporal self-attention with SPATIAL-layout input/output
-            # (B*T, H, W, C): the projections and out-proj are per-token,
-            # so they run here in the natural row-major layout (XLA's
-            # "free" bitcast-transpose otherwise drags LayerNorm/FF into
-            # batch-minor layouts, measured ~2x the whole block's cost at
-            # 720p); only q/k/v cross into token-major at the kernel edge.
-            BT, H, W, C = x.shape
+            # Temporal self-attention with (B*T, S, C) token-form
+            # input/output. The LayerNorms/PE/FF around this stay in the
+            # frame-major form — but INSIDE the attention, everything
+            # from the projections to the out-proj is per-token and
+            # layout-agnostic, so the input crosses into temporal
+            # token-major ((B*S, T, C)) ONCE before to_q/to_k/to_v and
+            # back ONCE after to_out. Transposing q/k/v/out separately
+            # (4 moves per attention) made the motion modules move
+            # ~2 GB/module of pure relayout traffic at 720p: the
+            # proj_out/ff HBM fusions ran at 270 GB/s with that traffic
+            # folded in (docs/PROFILE_720p.md round-5 dissection).
+            BT, S, C = x.shape
             B = BT // t_frames
             inner = self.num_heads * self.head_dim
-            q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
-                         name="to_q")(x)
-            k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
-                         name="to_k")(x)
-            v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
-                         name="to_v")(x)
 
-            def tm(t):  # (B*T, H, W, inner) -> (B*H*W, T, inner)
-                t = t.reshape(B, t_frames, H * W, inner)
-                return t.transpose(0, 2, 1, 3).reshape(
-                    B * H * W, t_frames, inner)
+            # (an optimization_barrier here to force the relayout to
+            # materialize was measured SLOWER — 1912 vs 1872 ms/window —
+            # than letting XLA propagate transposed layouts; keep the
+            # single shared transpose and let layout assignment decide)
+            h_tm = x.reshape(B, t_frames, S, C) \
+                .transpose(0, 2, 1, 3).reshape(B * S, t_frames, C)
+            q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_q")(h_tm)
+            k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_k")(h_tm)
+            v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype,
+                         name="to_v")(h_tm)
 
             if self.attn_fn is not None:
                 def split(t):
-                    t = tm(t).reshape(B * H * W, t_frames,
-                                      self.num_heads, self.head_dim)
+                    t = t.reshape(B * S, t_frames,
+                                  self.num_heads, self.head_dim)
                     return t.transpose(0, 2, 1, 3)
 
                 out = self.attn_fn(split(q), split(k), split(v))
                 out = out.transpose(0, 2, 1, 3).reshape(
-                    B * H * W, t_frames, inner)
+                    B * S, t_frames, inner)
             else:
-                out = attention_tokenmajor(tm(q), tm(k), tm(v),
-                                           self.num_heads)
-            out = out.reshape(B, H * W, t_frames, inner) \
-                .transpose(0, 2, 1, 3).reshape(BT, H, W, inner)
-            return nn.Dense(self.out_dim or C, dtype=self.dtype,
-                            name="to_out_0")(out)
+                out = attention_tokenmajor(q, k, v, self.num_heads)
+            out = nn.Dense(self.out_dim or C, dtype=self.dtype,
+                           name="to_out_0")(out)
+            return out.reshape(B, S, t_frames, -1) \
+                .transpose(0, 2, 1, 3).reshape(BT, S, -1)
         B, S, C = x.shape
+        # cross-step attention reuse (TGATE/DeepCache-style, PAPERS.md):
+        # when the caller provides a recorded "attn_cache" collection,
+        # replay the previous PCM step's attention output instead of
+        # recomputing q/k/v + the kernel; when the collection is mutable,
+        # record this step's output. Steered entirely by how apply() is
+        # called (denoise_window, cfg.spatial_attn_reuse) — no param-tree
+        # or call-signature change anywhere else.
+        if self.has_variable("attn_cache", "out"):
+            return self.get_variable("attn_cache", "out")
         ctx = x if context is None else context
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
@@ -174,7 +189,11 @@ class Attention(nn.Module):
                 else flash_attention
             out = impl(split(q), split(k), split(v))
             out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
-        return nn.Dense(self.out_dim or C, dtype=self.dtype, name="to_out_0")(out)
+        out = nn.Dense(self.out_dim or C, dtype=self.dtype,
+                       name="to_out_0")(out)
+        if self.is_mutable_collection("attn_cache"):
+            self.put_variable("attn_cache", "out", out)
+        return out
 
 
 class GEGLU(nn.Module):
@@ -232,15 +251,21 @@ class Transformer2D(nn.Module):
         B, H, W, C = x.shape
         res = x
         h = GroupNorm(32, 1e-6, name="norm")(x)
-        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        # proj_in/proj_out run on the 3D token form: applied in 4D NHWC,
+        # XLA rewrites these pointwise Denses as 1x1 convolutions and
+        # layout-assigns the activations TRANSPOSED ({2,3,1,0}: W on
+        # lanes, C on sublanes) to elide the attention transposes — every
+        # projection then streams HBM strided at ~270 GB/s
+        # (docs/PROFILE_720p.md round-5 dissection). The (B,H,W,C) ->
+        # (B,HW,C) reshape is a free bitcast on contiguous rows.
         h = h.reshape(B, H * W, C)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
             h = BasicTransformerBlock(self.num_heads, self.head_dim,
                                       dtype=self.dtype,
                                       name=f"transformer_blocks_{i}")(h, context)
-        h = h.reshape(B, H, W, C)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
-        return h + res
+        return h.reshape(B, H, W, C) + res
 
 
 class Downsample2D(nn.Module):

@@ -61,7 +61,7 @@ def sinusoidal_positional_embedding(n: int, dim: int) -> jnp.ndarray:
 
 class TemporalTransformerBlock(nn.Module):
     """norm1 -> +PE -> attn1, norm2 -> +PE -> attn2, norm3 -> ff.
-    Input/output (B*T, H, W, C) spatial layout; attention is over T."""
+    Input/output (B*T, S, C) token form; attention is over T."""
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     ring_mesh: object = None
@@ -69,7 +69,7 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, t_frames: int):
-        BT, H, W, C = x.shape
+        BT, S, C = x.shape
         B = BT // t_frames
         head_dim = C // self.num_heads
 
@@ -82,7 +82,7 @@ class TemporalTransformerBlock(nn.Module):
             attn_fn = ring_attention_for_mesh(self.ring_mesh, self.ring_axis)
 
         pe = sinusoidal_positional_embedding(t_frames, C)
-        pos_bt = jnp.tile(pe, (B, 1))[:, None, None, :]  # (B*T, 1, 1, C)
+        pos_bt = jnp.tile(pe, (B, 1))[:, None, :]  # (B*T, 1, C)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = (h + pos_bt).astype(x.dtype)
@@ -125,11 +125,16 @@ class MotionModule(nn.Module):
         # per-sample GroupNorm sees the same reduction set.
         h = x.reshape(B, t_frames * H, W, C)
         h = GroupNorm(32, 1e-6, name="norm")(h)
-        h = h.reshape(BT, H, W, C).astype(x.dtype)
+        # 3D token form for the projections and the transformer block:
+        # pointwise Denses on 4D NHWC get rewritten by XLA into 1x1
+        # convolutions with TRANSPOSED activation layouts (see
+        # Transformer2D), and the temporal transposes inside the block
+        # then stream strided (docs/PROFILE_720p.md round-5 dissection)
+        h = h.reshape(BT, H * W, C).astype(x.dtype)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
         h = TemporalTransformerBlock(
             self.num_heads, dtype=self.dtype, ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis, name="transformer_blocks_0")(
             h, t_frames)
         h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
-        return h + residual
+        return h.reshape(BT, H, W, C) + residual
