@@ -432,3 +432,42 @@ class TestEndToEndQuality:
         # in config.py. Gate at the same 45 dB bar as the exact path so a
         # regression in the reuse approximation fails loudly.
         assert value > 45.0, f"reuse PSNR {value:.2f} <= 45 dB"
+
+    def test_spatial_attn_reuse_cost(self, oracle_models, scene,
+                                     converted_params):
+        """Measure the TGATE/DeepCache-style cross-step attention reuse
+        against the exact reference — the data behind
+        config.spatial_attn_reuse's default. No hard quality bar while
+        the flag defaults OFF; the assertion only pins that the flag
+        actually changes the computation (reuse path really replays) and
+        that the output stays in a sane range."""
+        tvae, tu, tb = oracle_models
+        frames, masks, prior = scene
+        params, null_emb = converted_params
+        noise = _noise_like_model(0, T_FRAMES)
+        ref = torch_reference_pipeline(tvae, tu, tb, frames, masks, prior,
+                                       noise, null_emb)
+
+        values = {}
+        for flag in (False, True):
+            infill = _install_pipeline_model(
+                _tiny_dcfg(spatial_attn_reuse=flag), params)
+            try:
+                out = infill.run_infill_on_frames(
+                    [frames[i] for i in range(T_FRAMES)],
+                    [masks[i] for i in range(T_FRAMES)],
+                    mask_dilation_iter=0,
+                    propainer_frames=[prior[i] for i in range(T_FRAMES)],
+                    max_img_size=H, feather_px=int(FEATHER))
+            finally:
+                _restore(infill)
+            values[flag] = psnr(np.stack(out), ref)
+        print(f"\n[e2e quality] spatial_attn_reuse PSNR vs exact: "
+              f"off={values[False]:.2f} dB on={values[True]:.2f} dB")
+        assert values[True] != values[False], \
+            "spatial_attn_reuse flag changed nothing - replay not wired"
+        # if this ever clears the 45 dB e2e bar at production geometry,
+        # the default can flip ON (it saves ~half the UNet attention
+        # time per window); record the number either way
+        assert values[True] > 20.0, \
+            f"attn reuse output unusable: {values[True]:.2f} dB"

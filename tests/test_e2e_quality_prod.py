@@ -83,3 +83,37 @@ class TestProductionGeometryQuality:
         print(f"\n[e2e quality @960] PSNR vs torch reference: "
               f"{value:.2f} dB")
         assert value > 45.0, f"960-geometry e2e PSNR {value:.2f} <= 45 dB"
+
+    def test_spatial_attn_reuse_delta_at_960(self, prod_scene,
+                                             converted_params):
+        """Approximation error of cfg.spatial_attn_reuse at production
+        geometry, measured directly as PSNR(on, off) — no torch oracle
+        needed: the exact path is itself oracle-gated above, so the
+        on-vs-off delta isolates what the reuse changes. This is the
+        decision data for the config default (tiny-geometry companion:
+        test_e2e_quality.py::test_spatial_attn_reuse_cost)."""
+        frames, masks, prior = prod_scene
+        params, _ = converted_params
+        outs = {}
+        for flag in (False, True):
+            infill = _install_pipeline_model(
+                _tiny_dcfg(spatial_attn_reuse=flag, max_img_size=960,
+                           clip_length=PCLIP, clip_overlap=POV), params)
+            try:
+                out = infill.run_infill_on_frames(
+                    [frames[i] for i in range(PT)],
+                    [masks[i] for i in range(PT)],
+                    mask_dilation_iter=0,
+                    propainer_frames=[prior[i] for i in range(PT)],
+                    max_img_size=960, feather_px=int(FEATHER))
+            finally:
+                _restore(infill)
+            outs[flag] = np.stack(out)
+        assert not np.array_equal(outs[True], outs[False]), \
+            "spatial_attn_reuse flag changed nothing - replay not wired"
+        value = psnr(outs[True], outs[False])
+        print(f"\n[e2e quality @960] spatial_attn_reuse on-vs-off: "
+              f"{value:.2f} dB")
+        # sanity floor only while the default is OFF; > 45 dB here plus
+        # the tiny-geometry oracle number is the case for flipping it ON
+        assert value > 20.0, f"attn reuse unusable at 960: {value:.2f} dB"

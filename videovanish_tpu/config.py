@@ -127,6 +127,18 @@ class DiffuEraserConfig:
     # test_brushnet_feature_reuse_cost), far above the 45 dB quality gate,
     # so it ships on. Set False for bit-exact reference parity.
     brushnet_feature_reuse: bool = True
+    # TGATE/DeepCache-style cross-step reuse of the UNet's Transformer2D
+    # attention outputs (spatial self + text cross): record at PCM step
+    # 1, replay at step 2+ (motion-module TEMPORAL attention always
+    # recomputes). Measured 2026-08-21: denoise_window 1872 -> 1622
+    # ms/exec at 720p, quality cost ~nil — 75.5 dB on-vs-off at
+    # production geometry (test_e2e_quality_prod.py::
+    # test_spatial_attn_reuse_delta_at_960) and 56.38 vs 56.40 dB
+    # against the exact torch oracle at tiny geometry
+    # (test_e2e_quality.py::test_spatial_attn_reuse_cost) — both far
+    # above the 45 dB e2e gate, same decision bar as
+    # brushnet_feature_reuse. Set False for bit-exact reference parity.
+    spatial_attn_reuse: bool = True
     # SD1.5 UNet shape
     sample_channels: int = 4
     block_out_channels: tuple[int, ...] = (320, 640, 1280, 1280)

@@ -307,7 +307,9 @@ class DiffuEraser:
             x = schedule.add_noise(prior_lat, noise,
                                    jnp.full((T,), steps[0], jnp.int32))
             reuse = self.cfg.brushnet_feature_reuse
+            reuse_attn = self.cfg.spatial_attn_reuse
             feats = {}  # conditioning -> brushnet features
+            attn_caches = {}  # conditioning -> recorded attention outputs
             for i, t_i in enumerate(steps):
                 t_vec = jnp.full((T,), int(t_i), jnp.int32)
                 if not feats or not reuse:
@@ -323,10 +325,27 @@ class DiffuEraser:
 
                 def eps_for(cond, which):
                     bd, bm, bu = feats[which]
-                    return unet.apply({"params": params["unet"]},
-                                      x.astype(unet.dtype), t_vec, cond,
-                                      t_frames, brushnet_down=bd,
-                                      brushnet_mid=bm, brushnet_up=bu)
+                    kw = dict(brushnet_down=bd, brushnet_mid=bm,
+                              brushnet_up=bu)
+                    if not reuse_attn:
+                        return unet.apply({"params": params["unet"]},
+                                          x.astype(unet.dtype), t_vec, cond,
+                                          t_frames, **kw)
+                    # cfg.spatial_attn_reuse: record every Transformer2D
+                    # attention output at the first PCM step, replay it
+                    # at later steps (blocks.Attention "attn_cache")
+                    if which in attn_caches:
+                        return unet.apply(
+                            {"params": params["unet"],
+                             "attn_cache": attn_caches[which]},
+                            x.astype(unet.dtype), t_vec, cond, t_frames,
+                            **kw)
+                    eps_i, vars_ = unet.apply(
+                        {"params": params["unet"]}, x.astype(unet.dtype),
+                        t_vec, cond, t_frames, mutable=["attn_cache"],
+                        **kw)
+                    attn_caches[which] = vars_["attn_cache"]
+                    return eps_i
 
                 eps = eps_for(txt, "c")
                 if use_cfg:
@@ -664,16 +683,20 @@ class DiffuEraser:
             decode_final(final_upto)
         if do_sync:
             sync(acc)
-            _emit_stage("dn.windows", time.perf_counter() - t_windows,
-                        windows=len(plan))
+        # unsynced wall = dispatch cost only (device completion bills to
+        # the blocking decode fetch below); synced = honest phase wall
+        _emit_stage("dn.windows", time.perf_counter() - t_windows,
+                    windows=len(plan), synced=int(do_sync))
 
         prog(85, "VAE-decoding frames")
         t_fetch = time.perf_counter()
         out = np.empty((T_out, h, w, 3), np.uint8)
         if roi is not None:
             out[:] = frames[:T_out]  # out-of-ROI pixels = resized input
+        fetch_bytes = 0
         for start, i, u8 in chunks:
             arr = np.asarray(u8)
+            fetch_bytes += arr.nbytes
             # the decode batch covers [i, i+chunk); frames before `start`
             # in it were already written by an earlier chunk
             end = min(i + chunk, T_out)
@@ -682,9 +705,16 @@ class DiffuEraser:
             else:
                 out[start:end, roi[0]:roi[1], roi[2]:roi[3]] = \
                     arr[start - i:end - i]
-        if do_sync:
-            _emit_stage("dn.decode_fetch", time.perf_counter() - t_fetch,
-                        frames=T_out)
+        # this is the BLOCKING drain of the async dispatch stream: with
+        # VV_SYNC_STAGES off, all remaining device time bills here, so
+        # (dn.decode_fetch - device_time_outstanding) ~= tunnel transfer
+        # + host wait. dispatches counts every jit call of this forward
+        # (each costs ~1-2 ms host-side through the tunnel).
+        _emit_stage("dn.decode_fetch", time.perf_counter() - t_fetch,
+                    frames=T_out, synced=int(do_sync),
+                    fetch_bytes=fetch_bytes,
+                    dispatches=len(lat_c) + len(prior_c) + 2 * len(plan)
+                    + 2 * len(chunks))
         prog(100, "diffusion inpainting done")
         if return_latent_tail:
             return ([out[i] for i in range(T_out)],
