@@ -525,8 +525,15 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
             # materialize the (B,H,Sq,Sk) scores in HBM — and (b) for
             # long-QUERY cross-attention (UNet attn2: Sq up to 8160,
             # Sk=77): the scores are Sq-tall there too, and the inline
-            # kernel's single ragged KV block keeps them in VMEM
-            and (k.shape[2] >= 384
+            # kernel's single ragged KV block keeps them in VMEM.
+            # The 192 cutoff (was 384) catches Hiera's stage-3 windowed
+            # attention (S=256, D=72, B*H=1024): its XLA-path softmax
+            # materialized ~268 MB f32 score tensors per block — the
+            # `sub` pass alone was 7.1 ms x 33 blocks of the encoder
+            # (round-5 SAM2 dissection); shapes below S=192 keep the
+            # packed/naive paths where the pallas grid would be pure
+            # per-program overhead
+            and (k.shape[2] >= 192
                  or (q.shape[2] >= 512 and k.shape[2] >= 64)))):
         return _flash_attention(q, k, v, float(scale))
     # Packed small-sequence path: only where measured to win — S in
