@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from videovanish_tpu.ops.attention import attention as flash_attention
+from videovanish_tpu.ops.attention import attention_tokenmajor
 
 
 def window_partition(x, ws: int):
@@ -69,6 +70,21 @@ class MultiScaleAttention(nn.Module):
             q = nn.max_pool(q, (2, 2), strides=(2, 2))
             H, W = q.shape[1], q.shape[2]
         hd = self.dim_out // self.num_heads
+
+        if not self.q_pool:
+            # token-major dispatch: for the small windowed sequences
+            # (stage-1/4 S=64) the packing and head split stay inside
+            # the kernel's VMEM — the (B,H,S,D) head-split transposes on
+            # 8k-window batches were ~8-16 ms of HBM relayout per block
+            # (PROFILE_SAM2.md); other shapes fall through to the same
+            # flash/XLA dispatch as the split path below
+            out = attention_tokenmajor(
+                q.reshape(B, H * W, self.dim_out),
+                k.reshape(B, H * W, self.dim_out),
+                v.reshape(B, H * W, self.dim_out), self.num_heads)
+            out = out.reshape(B, H, W, self.dim_out)
+            return nn.Dense(self.dim_out, dtype=self.dtype,
+                            name="proj")(out)
 
         def heads(t):
             return t.reshape(B, -1, self.num_heads, hd).transpose(0, 2, 1, 3)

@@ -519,6 +519,10 @@ def attention(q, k, v, scale: float | None = None, is_causal: bool = False,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    # (A packed single-block variant for the windowed S=256 shapes —
+    # several (batch, head) pairs per instance, full softmax in VMEM —
+    # was measured at 20.7 f/s vs flash's 21.3 on the SAM2 leg:
+    # no better than the flash grid, so the dispatch stays simple.)
     if key_mask is None and (backend == "pallas" or (
             backend == "auto" and _use_pallas() and not is_causal
             # flash pays off (a) whenever KV is long — XLA would
