@@ -300,9 +300,12 @@ def main():
                 for name, secs, fields in stages:
                     d = split.setdefault(name, {"seconds": 0.0})
                     d["seconds"] = round(d["seconds"] + secs, 3)
-                    for key in ("bytes_up", "wire"):
+                    for key in ("bytes_up", "wire", "fetch_bytes",
+                                "dispatches", "windows", "synced"):
                         if key in fields:
-                            d[key] = fields[key]
+                            d[key] = d.get(key, 0) + fields[key] \
+                                if key in ("fetch_bytes", "dispatches",
+                                           "windows") else fields[key]
                 emit(f"stage_split_{h}p", sum(
                     v["seconds"] for v in split.values()), vs=0.0,
                     unit="seconds", stages=split)
