@@ -433,14 +433,72 @@ class TestEndToEndQuality:
         # regression in the reuse approximation fails loudly.
         assert value > 45.0, f"reuse PSNR {value:.2f} <= 45 dB"
 
+    def test_prior_sweep_properties(self, oracle_models, scene,
+                                    converted_params):
+        """Prior sweep (VERDICT r4 item 7): exercise the prior-injection
+        seam (latent init sqrt(acp[t0])*enc(prior) + noise,
+        diffuerase.py:62-67) at an adversarial extreme instead of only
+        the fixture's random prior. With random weights the output
+        CANNOT be closer to a better prior — at t0=999 the prior is ~7%
+        of the init amplitude, and recovering it requires the UNet to
+        cancel the injected noise, which only trained weights do
+        (measured: 9.47 vs 9.48 dB to-frames for perfect vs inverted
+        prior) — so the testable properties are: (a) the implementation
+        still matches the torch oracle at the extreme prior (a scale /
+        clip / sign bug in prior handling diverges the two pipelines'
+        inits), (b) the prior DOES reach the masked output (runs with
+        different priors differ inside the mask), and (c) composite
+        locality: a prior change never leaks outside the feathered mask
+        (runs bit-identical there)."""
+        tvae, tu, tb = oracle_models
+        frames, masks, _ = scene
+        params, null_emb = converted_params
+        noise = _noise_like_model(0, T_FRAMES)
+        bad_prior = (255 - frames).astype(np.uint8)
+
+        ref_bad = torch_reference_pipeline(tvae, tu, tb, frames, masks,
+                                           bad_prior, noise, null_emb)
+
+        infill = _install_pipeline_model(
+            _tiny_dcfg(brushnet_feature_reuse=False,
+                       spatial_attn_reuse=False), params)
+        outs = {}
+        try:
+            for name, prior in (("good", frames), ("bad", bad_prior)):
+                out = infill.run_infill_on_frames(
+                    [frames[i] for i in range(T_FRAMES)],
+                    [masks[i] for i in range(T_FRAMES)],
+                    mask_dilation_iter=0,
+                    propainer_frames=[prior[i] for i in range(T_FRAMES)],
+                    max_img_size=H, feather_px=int(FEATHER))
+                outs[name] = np.stack(out)
+        finally:
+            _restore(infill)
+
+        value = psnr(outs["bad"], ref_bad)
+        print(f"\n[e2e quality] adversarial-prior PSNR vs torch "
+              f"reference: {value:.2f} dB")
+        assert value > 45.0, \
+            f"adversarial-prior e2e PSNR {value:.2f} <= 45 dB"
+
+        far = np.ones((H, W), bool)
+        far[:48, :64] = False  # mask box + generous feather margin
+        assert np.array_equal(outs["good"][:, far], outs["bad"][:, far]), \
+            "prior change leaked outside the feathered mask region"
+        box = (slice(None), slice(16, 32), slice(24, 48))
+        assert not np.array_equal(outs["good"][box], outs["bad"][box]), \
+            "prior change never reached the masked output"
+
     def test_spatial_attn_reuse_cost(self, oracle_models, scene,
                                      converted_params):
         """Measure the TGATE/DeepCache-style cross-step attention reuse
         against the exact reference — the data behind
-        config.spatial_attn_reuse's default. No hard quality bar while
-        the flag defaults OFF; the assertion only pins that the flag
-        actually changes the computation (reuse path really replays) and
-        that the output stays in a sane range."""
+        config.spatial_attn_reuse's default (ON since round 5: 56.38 dB
+        here and 75.5 dB on-vs-off at production geometry,
+        test_e2e_quality_prod.py). The flag ships ON, so the reuse path
+        is held to the same 45 dB e2e bar as the exact path; the
+        off-vs-on inequality pins that the flag actually changes the
+        computation (replay really wired)."""
         tvae, tu, tb = oracle_models
         frames, masks, prior = scene
         params, null_emb = converted_params
@@ -466,8 +524,7 @@ class TestEndToEndQuality:
               f"off={values[False]:.2f} dB on={values[True]:.2f} dB")
         assert values[True] != values[False], \
             "spatial_attn_reuse flag changed nothing - replay not wired"
-        # if this ever clears the 45 dB e2e bar at production geometry,
-        # the default can flip ON (it saves ~half the UNet attention
-        # time per window); record the number either way
-        assert values[True] > 20.0, \
-            f"attn reuse output unusable: {values[True]:.2f} dB"
+        # the ship default is ON — hold the reuse path to the same 45 dB
+        # bar that decided it (measured 56.38 dB, 2026-08-21)
+        assert values[True] > 45.0, \
+            f"attn reuse PSNR {values[True]:.2f} <= 45 dB"
