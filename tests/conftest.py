@@ -57,6 +57,7 @@ SLOW_TESTS = {
     "test_infill_spmd.py::TestInfillSPMD::test_mesh_disabled_by_env",                   # 31s
     "test_infill_spmd.py::TestInfillSPMD::test_clip_length_rounds_up_to_data_axis",     # 28s
     "test_dryrun_golden.py::test_golden_matches_fresh_single_device_run",               # ~260s
+    "test_e2e_quality.py::TestEndToEndQuality::test_prior_sweep_properties",            # ~150s
 }
 
 
